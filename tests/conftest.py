@@ -1,0 +1,59 @@
+"""Test harness config: force the CPU backend with 8 virtual devices so
+multi-chip sharding tests run anywhere (set before jax is imported)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("TOKENIZERS_PARALLELISM", "false")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+class StubTokenizer:
+    """Character-level tokenizer for splice/protocol tests. Ids are ords
+    (positive, < 0x110000) so they never collide with sentinel ids. Like the
+    real Qwen tokenizer, ChatML special tokens map to single ids."""
+
+    bos_token_id = None
+    pad_token_id = 0
+    SPECIALS = {"<|im_start|>": 151644, "<|im_end|>": 151645,
+                "<|vision_start|>": 151652, "<|vision_end|>": 151653,
+                "<|image_pad|>": 151655}
+
+    def encode(self, text):
+        import re
+
+        pattern = "(" + "|".join(re.escape(s) for s in self.SPECIALS) + ")"
+        ids = []
+        for part in re.split(pattern, text):
+            if part in self.SPECIALS:
+                ids.append(self.SPECIALS[part])
+            else:
+                ids.extend(ord(c) for c in part)
+        return ids
+
+    def __call__(self, text):
+        class _Out:
+            def __init__(self, ids):
+                self.input_ids = ids
+
+        return _Out(self.encode(text))
+
+    def decode(self, ids, **kw):
+        return "".join(chr(i) for i in ids if 0 < i < 0x110000)
+
+
+@pytest.fixture
+def stub_tokenizer():
+    return StubTokenizer()

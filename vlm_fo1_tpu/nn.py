@@ -1,0 +1,160 @@
+"""Minimal functional NN layer library.
+
+Parameters are plain nested dicts of jnp arrays (pytrees) — no module
+framework. Every layer is a pair of functions: `*_init(key, ...) -> params`
+and the apply function. Weight layout conventions:
+
+- linear kernels are stored [in, out] (jnp.dot-friendly; HF checkpoints store
+  [out, in] and are transposed at load time, see checkpoint.py)
+- convs use NCHW activations and OIHW kernels to match checkpoint layout;
+  XLA on TPU relayouts internally.
+
+Numerics notes (parity with the reference bf16 paths):
+- rms_norm and layer_norm compute statistics in float32
+  (reference modeling_qwen2_5_vl.py:135-140)
+- softmax in attention is float32 (reference :784)
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def lecun_normal(key, shape, dtype=jnp.float32, std=0.02):
+    return (jax.random.normal(key, shape) * std).astype(dtype)
+
+
+# ----------------------------------------------------------------- linear
+
+def linear_init(key, in_dim, out_dim, bias=True, dtype=jnp.float32, std=0.02):
+    kw, kb = jax.random.split(key)
+    p = {"w": lecun_normal(kw, (in_dim, out_dim), dtype, std)}
+    if bias:
+        p["b"] = jnp.zeros((out_dim,), dtype)
+    return p
+
+
+def linear(p, x):
+    y = jnp.dot(x, p["w"])
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+# ------------------------------------------------------------------ norms
+
+def rms_norm_init(dim, dtype=jnp.float32):
+    return {"scale": jnp.ones((dim,), dtype)}
+
+
+def rms_norm(p, x, eps=1e-6):
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    xf = xf * jax.lax.rsqrt(var + eps)
+    return (p["scale"] * xf.astype(dt)).astype(dt)
+
+
+def layer_norm_init(dim, dtype=jnp.float32):
+    return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+
+
+def layer_norm(p, x, eps=1e-5):
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (xf.astype(dt) * p["scale"] + p["bias"]).astype(dt)
+
+
+# ------------------------------------------------------------------ convs
+
+def conv2d_init(key, in_ch, out_ch, kernel_size, bias=True, groups=1,
+                dtype=jnp.float32, std=0.02):
+    if isinstance(kernel_size, int):
+        kernel_size = (kernel_size, kernel_size)
+    kw, kb = jax.random.split(key)
+    p = {"w": lecun_normal(kw, (out_ch, in_ch // groups, *kernel_size), dtype, std)}
+    if bias:
+        p["b"] = jnp.zeros((out_ch,), dtype)
+    return p
+
+
+def conv2d(p, x, stride=1, padding=0, groups=1):
+    """NCHW conv with OIHW kernel."""
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if isinstance(padding, int):
+        padding = ((padding, padding), (padding, padding))
+    y = jax.lax.conv_general_dilated(
+        x, p["w"], window_strides=stride, padding=padding,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if "b" in p:
+        y = y + p["b"][None, :, None, None].astype(y.dtype)
+    return y
+
+
+def embedding_init(key, vocab, dim, dtype=jnp.float32, std=0.02):
+    return {"w": lecun_normal(key, (vocab, dim), dtype, std)}
+
+
+def embedding(p, ids):
+    return jnp.take(p["w"], ids, axis=0)
+
+
+# ------------------------------------------------------------- activations
+
+ACT = {
+    "silu": jax.nn.silu,
+    "gelu": partial(jax.nn.gelu, approximate=False),
+    "gelu_tanh": partial(jax.nn.gelu, approximate=True),
+    "relu": jax.nn.relu,
+    "quick_gelu": lambda x: x * jax.nn.sigmoid(1.702 * x),
+}
+
+
+# ------------------------------------------------------------- attention
+
+def sdpa(q, k, v, mask=None, scale=None):
+    """Scaled dot-product attention with fp32 softmax.
+
+    q: [..., Sq, H, D], k/v: [..., Sk, H, D] (head axis second-to-last is the
+    layout used across this codebase); mask broadcastable to
+    [..., H, Sq, Sk] with True = attend.
+    """
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    logits = jnp.einsum("...qhd,...khd->...hqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("...hqk,...khd->...qhd", probs, v)
+
+
+def mlp_gelu_init(key, in_dim, hidden, depth=2, dtype=jnp.float32):
+    """`mlpNx_gelu` projector stack (reference multimodal_projector/builder.py:64-71)."""
+    keys = jax.random.split(key, depth)
+    layers = [linear_init(keys[0], in_dim, hidden, dtype=dtype)]
+    for i in range(1, depth):
+        layers.append(linear_init(keys[i], hidden, hidden, dtype=dtype))
+    return {"layers": layers}
+
+
+def mlp_gelu(p, x):
+    y = linear(p["layers"][0], x)
+    for lp in p["layers"][1:]:
+        y = linear(lp, jax.nn.gelu(y, approximate=False))
+    return y
+
+
+def count_params(params) -> int:
+    return sum(x.size for x in jax.tree.leaves(params))

@@ -1,0 +1,183 @@
+"""Host-side image preprocessing (pure numpy/PIL — no torch).
+
+Mirrors the behavioural contract of the reference pipeline:
+- load_image / base64 / URL handling  (reference mm_utils.py:183-213)
+- deterministic shortest-edge resize capped at a max long side, with
+  proportional bbox rescale             (reference mm_utils.py:371-462)
+- Qwen2-VL smart-resize + patchify      (HF Qwen2VLImageProcessor semantics)
+- DaViT aux squash-resize + ImageNet normalisation
+  (reference davit/configs.py:139-152, image_processing_clip.py)
+- bbox clamp + rescale into the aux processor's pixel space
+  (reference mm_utils.py:281-312)
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import math
+from io import BytesIO
+
+import numpy as np
+from PIL import Image
+
+# OpenAI-CLIP statistics used by the Qwen2-VL image processor.
+QWEN_IMAGE_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+QWEN_IMAGE_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+# ImageNet statistics used by the DaViT aux processor.
+AUX_IMAGE_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+AUX_IMAGE_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def load_image(image_file) -> Image.Image:
+    """Load from PIL image, URL, data-URI base64 or local path; RGB, >=28px."""
+    if isinstance(image_file, Image.Image):
+        image = image_file.convert("RGB")
+    elif image_file.startswith(("http://", "https://")):
+        import requests
+
+        response = requests.get(image_file)
+        image = Image.open(BytesIO(response.content)).convert("RGB")
+    elif image_file.startswith("data:image/"):
+        payload = image_file.split("base64,", 1)[-1]
+        image = Image.open(BytesIO(base64.b64decode(payload))).convert("RGB")
+    else:
+        image = Image.open(image_file).convert("RGB")
+
+    if image.width < 28 or image.height < 28:
+        image = image.resize((max(28, image.width), max(28, image.height)))
+    return image
+
+
+def image_to_base64(img_pil: Image.Image) -> str:
+    with io.BytesIO() as buffer:
+        img_pil.save(buffer, format="JPEG")
+        return base64.b64encode(buffer.getvalue()).decode("utf-8")
+
+
+def resize_shortest_edge_images_and_bboxes(
+    images: list[Image.Image],
+    bbox_lists,
+    candidate_sizes: list[int] | None = None,
+    max_size: int = 2048,
+):
+    """Deterministic inference-time resize: keep scale 1.0 unless the long
+    side exceeds `max_size`, then shrink proportionally; floor at 28px.
+    Bboxes (xyxy pixel coords) are rescaled with the image.
+
+    Accepts either one bbox list (single image) or a list of per-image lists,
+    mirroring the reference's shape normalisation (mm_utils.py:396-399).
+    """
+    single = bool(bbox_lists) and np.asarray(bbox_lists[0]).ndim == 1
+    if single:
+        bbox_lists = [bbox_lists]
+    if bbox_lists is None:
+        bbox_lists = [[] for _ in images]
+    if len(images) != len(bbox_lists):
+        raise ValueError("images and bbox lists must have the same length")
+
+    resized_images, out_bboxes = [], []
+    for img, bboxes in zip(images, bbox_lists):
+        ow, oh = img.size
+        scale = 1.0
+        if candidate_sizes:
+            scale = candidate_sizes[0] / min(ow, oh)
+        nh, nw = int(oh * scale), int(ow * scale)
+        if max(nh, nw) > max_size:
+            s2 = max_size / max(nh, nw)
+            nh, nw = int(nh * s2), int(nw * s2)
+        nw, nh = max(28, nw), max(28, nh)
+        if (nw, nh) != (ow, oh):
+            img = img.resize((nw, nh), Image.Resampling.BICUBIC)
+        resized_images.append(img)
+        sx, sy = nw / ow, nh / oh
+        out_bboxes.append(
+            [[x1 * sx, y1 * sy, x2 * sx, y2 * sy] for x1, y1, x2, y2 in bboxes])
+
+    if single:
+        return resized_images, out_bboxes[0]
+    return resized_images, out_bboxes
+
+
+def adjust_bbox(bbox_list, original_h, original_w, resize_h, resize_w):
+    """Clamp boxes to the image then rescale into (resize_h, resize_w) space
+    (reference mm_utils.py:281-312)."""
+    out = []
+    for x1, y1, x2, y2 in bbox_list:
+        x1 = min(max(x1, 0), original_w)
+        x2 = min(max(x2, 0), original_w)
+        y1 = min(max(y1, 0), original_h)
+        y2 = min(max(y2, 0), original_h)
+        out.append([
+            x1 * resize_w / original_w, y1 * resize_h / original_h,
+            x2 * resize_w / original_w, y2 * resize_h / original_h,
+        ])
+    return out
+
+
+def smart_resize(height: int, width: int, factor: int = 28,
+                 min_pixels: int = 56 * 56, max_pixels: int = 2048 * 2048):
+    """Qwen2-VL resize rule: dims divisible by `factor`, pixel count within
+    [min_pixels, max_pixels], aspect ratio approximately preserved."""
+    if max(height, width) / min(height, width) > 200:
+        raise ValueError("absolute aspect ratio must be smaller than 200")
+    h_bar = round(height / factor) * factor
+    w_bar = round(width / factor) * factor
+    if h_bar * w_bar > max_pixels:
+        beta = math.sqrt((height * width) / max_pixels)
+        h_bar = max(factor, math.floor(height / beta / factor) * factor)
+        w_bar = max(factor, math.floor(width / beta / factor) * factor)
+    elif h_bar * w_bar < min_pixels:
+        beta = math.sqrt(min_pixels / (height * width))
+        h_bar = math.ceil(height * beta / factor) * factor
+        w_bar = math.ceil(width * beta / factor) * factor
+    return h_bar, w_bar
+
+
+def _normalize(arr_hwc: np.ndarray, mean, std) -> np.ndarray:
+    return (arr_hwc.astype(np.float32) / 255.0 - mean) / std
+
+
+def qwen_image_preprocess(
+    image: Image.Image,
+    patch_size: int = 14,
+    merge_size: int = 2,
+    temporal_patch_size: int = 2,
+    min_pixels: int = 56 * 56,
+    max_pixels: int = 2048 * 2048,
+):
+    """Smart-resize + patchify to Qwen2-VL `pixel_values`.
+
+    Returns:
+        pixel_values: [grid_h*grid_w, C*temporal*patch*patch] float32, rows
+            ordered (h_block, w_block, merge_h, merge_w) — one row per patch.
+        grid_thw: (1, grid_h, grid_w)
+    """
+    h_bar, w_bar = smart_resize(
+        image.height, image.width, factor=patch_size * merge_size,
+        min_pixels=min_pixels, max_pixels=max_pixels)
+    img = image.resize((w_bar, h_bar), Image.Resampling.BICUBIC)
+    arr = _normalize(np.asarray(img, np.uint8), QWEN_IMAGE_MEAN, QWEN_IMAGE_STD)
+    chw = arr.transpose(2, 0, 1)  # [C, H, W]
+
+    # a still image is repeated to fill the temporal patch
+    frames = np.broadcast_to(chw, (temporal_patch_size, *chw.shape))
+    grid_h, grid_w = h_bar // patch_size, w_bar // patch_size
+    c = chw.shape[0]
+    patches = frames.reshape(
+        1, temporal_patch_size, c,
+        grid_h // merge_size, merge_size, patch_size,
+        grid_w // merge_size, merge_size, patch_size,
+    )
+    patches = patches.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
+    pixel_values = np.ascontiguousarray(patches).reshape(
+        grid_h * grid_w, c * temporal_patch_size * patch_size * patch_size)
+    return pixel_values, (1, grid_h, grid_w)
+
+
+def aux_image_preprocess(image: Image.Image, image_size: int = 768) -> np.ndarray:
+    """DaViT aux branch: squash-resize to a fixed square, ImageNet
+    normalisation. Returns [C, H, W] float32."""
+    img = image.resize((image_size, image_size), Image.Resampling.BICUBIC)
+    arr = _normalize(np.asarray(img, np.uint8), AUX_IMAGE_MEAN, AUX_IMAGE_STD)
+    return arr.transpose(2, 0, 1)
