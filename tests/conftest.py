@@ -3,7 +3,10 @@ multi-chip sharding tests run anywhere (set before jax is imported)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force-override: the shell presets JAX_PLATFORMS=axon (TPU); tests must run
+# on CPU with virtual devices unless explicitly opted out
+if os.environ.get("VLM_FO1_TEST_ON_TPU") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -11,8 +14,16 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 os.environ.setdefault("TOKENIZERS_PARALLELISM", "false")
 
+import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# The harness force-registers the axon TPU platform in-process, ignoring
+# JAX_PLATFORMS; override it here so tests run on the 8 virtual CPU devices.
+if os.environ.get("VLM_FO1_TEST_ON_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
+# full-precision fp32 matmuls for parity tests
+jax.config.update("jax_default_matmul_precision", "highest")
 
 
 @pytest.fixture

@@ -1,0 +1,84 @@
+"""ROIAlign numerics: jit kernel vs scalar adaptive reference, plus
+analytic cases."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from vlm_fo1_tpu.ops.roi_align import (
+    roi_align,
+    roi_align_adaptive,
+    roi_align_mean,
+)
+
+
+def test_matches_adaptive_reference_when_ratios_agree(rng):
+    """Boxes sized so torchvision's adaptive ratio == our static ratio (2):
+    outputs must agree to float precision."""
+    feat = rng.standard_normal((16, 16, 5)).astype(np.float32)
+    # scaled roi extent in (7, 14] -> ceil(roi/7) == 2 taps per bin
+    boxes = np.array([
+        [1.0, 2.0, 11.0, 13.0],
+        [0.0, 0.0, 13.9, 8.1],
+        [3.3, 4.4, 12.2, 12.4],
+    ], np.float32)
+    ref = roi_align_adaptive(feat, boxes, 7, spatial_scale=1.0)
+    out = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(boxes), 7, 1.0,
+                               sampling_ratio=2))
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_close_to_adaptive_for_larger_boxes(rng):
+    """For larger boxes adaptive uses more taps; the 7x7-pooled means must
+    still agree closely (this bounds the static-ratio approximation)."""
+    feat = rng.standard_normal((32, 32, 4)).astype(np.float32)
+    boxes = np.array([[2.0, 2.0, 60.0, 50.0], [0.0, 0.0, 127.0, 100.0]],
+                     np.float32)
+    scale = 0.25
+    ref = roi_align_adaptive(feat, boxes, 7, scale).mean(axis=(1, 2))
+    out = np.asarray(roi_align_mean(jnp.asarray(feat), jnp.asarray(boxes),
+                                    7, scale, sampling_ratio=2))
+    np.testing.assert_allclose(out, ref, atol=0.05, rtol=0.12)
+
+
+def test_constant_map_gives_constant(rng):
+    feat = np.full((10, 12, 3), 2.5, np.float32)
+    boxes = np.array([[1.0, 1.0, 8.0, 6.0]], np.float32)
+    out = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(boxes), 7, 1.0))
+    np.testing.assert_allclose(out, 2.5, atol=1e-6)
+
+
+def test_linear_ramp_analytic():
+    """On f(x,y) = x, bilinear sampling is exact; each bin's average equals
+    the bin-centre x coordinate (feature coords = pixel centres)."""
+    h = w = 16
+    x = np.arange(w, dtype=np.float32)
+    feat = np.broadcast_to(x[None, :, None], (h, w, 1)).copy()
+    boxes = np.array([[2.0, 2.0, 9.0, 9.0]], np.float32)  # roi_w = 7 -> bin 1px
+    out = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(boxes), 7, 1.0))
+    exp = 2.0 + np.arange(7) + 0.5  # bin centres at x = 2.5 .. 8.5
+    np.testing.assert_allclose(out[0, 3, :, 0], exp, atol=1e-5)
+
+
+def test_degenerate_box_min_size():
+    """Zero-area boxes behave like the reference (roi extent floored at 1)."""
+    feat = np.arange(25, dtype=np.float32).reshape(5, 5, 1)
+    boxes = np.array([[2.0, 2.0, 2.0, 2.0]], np.float32)
+    out = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(boxes), 7, 1.0))
+    ref = roi_align_adaptive(feat, boxes, 7, 1.0)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_grad_flows(rng):
+    import jax
+
+    feat = jnp.asarray(rng.standard_normal((8, 8, 3)).astype(np.float32))
+    boxes = jnp.asarray(np.array([[1.0, 1.0, 6.0, 6.0]], np.float32))
+
+    def loss(f):
+        return roi_align_mean(f, boxes, 7, 1.0).sum()
+
+    g = jax.grad(loss)(feat)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).sum() > 0

@@ -229,9 +229,10 @@ class FO1Config:
             depths=(1, 1, 2, 1), embed_dims=(8, 16, 32, 64),
             num_heads=(1, 2, 4, 8), num_groups=(1, 2, 4, 8), image_size=96,
         )
+        vt_dim = vision.hidden_size * len(vision.fullatt_block_indexes)
         hfre = HFREConfig(
-            region_feature_dim=sum(davit.embed_dims) + vision.hidden_size * 4,
-            vt_region_feature_dim=vision.hidden_size * 4,
+            region_feature_dim=sum(davit.embed_dims) + vt_dim,
+            vt_region_feature_dim=vt_dim,
             aux_region_feature_dims=davit.embed_dims,
         )
         return FO1Config(

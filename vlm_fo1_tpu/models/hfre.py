@@ -1,0 +1,145 @@
+"""Hybrid Fine-grained Region Encoder (HFRE) — the FO1 paper's core module.
+
+Re-implementation of HFREModule (reference
+hybrid_finegrained_region_encoder.py:106-469) for the configuration used by
+the released checkpoint: dual-path ROI pooling
+
+  aux path: DaViT stage maps -> bilinear upsample stages 1..3 to stage-0
+            resolution -> channel concat [.., 3840] -> ROIAlign(7x7, 0.25)
+            -> spatial mean -> [N, 3840]
+  vt path:  4 captured ViT full-attention maps (channel-concat [.., 5120])
+            -> ROIAlign(7x7, 1/14) -> mean -> [N, 5120]
+  combine:  concat -> [N, 8960], + sine-cosine bbox position embedding of the
+            normalized (cx, cy, w, h) box (strategy 'bbox_based').
+
+All feature maps are channel-last; ROI numerics are fp32 (the reference
+upcasts with .float(), hybrid...:250,264,319).
+
+The less-common reference variants (mean combination, separate position
+embeddings, SimpleFPN vt path, feature-map position embedding) are supported
+where the released checkpoint can select them via config; unsupported combos
+raise explicitly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from vlm_fo1_tpu import nn
+from vlm_fo1_tpu.config import HFREConfig
+from vlm_fo1_tpu.ops.roi_align import roi_align_mean
+
+
+def gen_sineembed_for_position(pos: jnp.ndarray, dim_feats: int) -> jnp.ndarray:
+    """Sine/cos embedding of normalized box coords.
+
+    pos: [N, 4] (cx, cy, w, h) in [0, 1]. Returns [N, 4*dim_feats] ordered
+    (y, x, w, h) with interleaved sin/cos pairs — matches the reference
+    gen_sineembed_for_position (hybrid...:55-103).
+    """
+    scale = 2 * jnp.pi
+    dim_t = 10000.0 ** (2 * (jnp.arange(dim_feats, dtype=jnp.float32) // 2)
+                        / dim_feats)
+
+    def embed(coord):  # [N] -> [N, dim_feats]
+        f = coord[:, None] * scale / dim_t
+        s = jnp.sin(f[:, 0::2])
+        c = jnp.cos(f[:, 1::2])
+        return jnp.stack([s, c], axis=-1).reshape(coord.shape[0], -1)
+
+    cx, cy, w, h = pos[:, 0], pos[:, 1], pos[:, 2], pos[:, 3]
+    return jnp.concatenate([embed(cy), embed(cx), embed(w), embed(h)], axis=-1)
+
+
+def _xyxy_to_normalized_cxcywh(boxes: jnp.ndarray, img_w: float, img_h: float):
+    x1 = boxes[:, 0] / img_w
+    y1 = boxes[:, 1] / img_h
+    x2 = boxes[:, 2] / img_w
+    y2 = boxes[:, 3] / img_h
+    w = x2 - x1
+    h = y2 - y1
+    return jnp.stack([x1 + w / 2, y1 + h / 2, w, h], axis=-1)
+
+
+def upsample_concat_aux(aux_maps: list[jnp.ndarray]) -> jnp.ndarray:
+    """Bilinear-upsample stages 1..3 to stage-0 size, concat channels.
+
+    aux_maps: list of [B, Hi, Wi, Ci] channel-last. Returns [B, H0, W0, sum C].
+    Half-pixel-center bilinear == torch F.interpolate(align_corners=False)
+    (reference hybrid...:338-350).
+    """
+    h0, w0 = aux_maps[0].shape[1:3]
+    outs = [aux_maps[0].astype(jnp.float32)]
+    for m in aux_maps[1:]:
+        b, _, _, c = m.shape
+        outs.append(jax.image.resize(m.astype(jnp.float32), (b, h0, w0, c),
+                                     method="bilinear"))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def hfre_forward(
+    params: dict,
+    cfg: HFREConfig,
+    aux_concat: jnp.ndarray,     # [H0, W0, sumC] fp32 (single image)
+    aux_boxes: jnp.ndarray,      # [N, 4] xyxy in aux-input pixels
+    vt_map: jnp.ndarray | None,  # [gh, gw, 4D] fp32
+    vt_boxes: jnp.ndarray | None,  # [N, 4] xyxy in ViT-input pixels
+) -> jnp.ndarray:
+    """Region features [N, region_feature_dim] float32 for one image."""
+    if cfg.use_vt_region_feature_only:
+        out = roi_align_mean(vt_map.astype(jnp.float32), vt_boxes,
+                             cfg.roi_output_size, cfg.vt_spatial_scale,
+                             cfg.roi_sampling_ratio)
+        if cfg.apply_position_embedding:
+            out = out + _vt_pos_embed(vt_map, vt_boxes, cfg,
+                                      cfg.region_feature_dim // 4)
+        return out
+
+    aux_feat = roi_align_mean(aux_concat, aux_boxes, cfg.roi_output_size,
+                              cfg.aux_spatial_scale, cfg.roi_sampling_ratio)
+    if cfg.apply_region_layer_norm and "aux_region_norm" in params:
+        aux_feat = nn.layer_norm(params["aux_region_norm"], aux_feat)
+
+    if not cfg.use_vision_tower_region_feature:
+        out = aux_feat
+    else:
+        vt_feat = roi_align_mean(vt_map.astype(jnp.float32), vt_boxes,
+                                 cfg.roi_output_size, cfg.vt_spatial_scale,
+                                 cfg.roi_sampling_ratio)
+        if cfg.apply_region_layer_norm and "vt_region_norm" in params:
+            vt_feat = nn.layer_norm(params["vt_region_norm"], vt_feat)
+        comb = cfg.region_feature_combination
+        if comb in ("concat", "concat_aux_pos"):
+            out = jnp.concatenate([aux_feat, vt_feat], axis=-1)
+        elif comb in ("mean", "mean_aux_pos"):
+            out = (aux_feat + vt_feat) / 2
+        else:
+            raise NotImplementedError(
+                f"region_feature_combination={comb!r} not supported yet")
+
+    if cfg.apply_position_embedding and cfg.pos_embedding_strategy in (
+            "bbox_based", "hybrid"):
+        use_vt = (cfg.use_vision_tower_region_feature and vt_boxes is not None
+                  and cfg.region_feature_combination
+                  not in ("concat_aux_pos", "mean_aux_pos"))
+        if use_vt:
+            out = out + _vt_pos_embed(vt_map, vt_boxes, cfg,
+                                      cfg.region_feature_dim // 4)
+        else:
+            h0, w0 = aux_concat.shape[:2]
+            img_w = w0 / cfg.aux_spatial_scale
+            img_h = h0 / cfg.aux_spatial_scale
+            pos = _xyxy_to_normalized_cxcywh(
+                aux_boxes.astype(jnp.float32), img_w, img_h)
+            out = out + gen_sineembed_for_position(
+                pos, cfg.region_feature_dim // 4)
+    return out
+
+
+def _vt_pos_embed(vt_map, vt_boxes, cfg: HFREConfig, dim_feats: int):
+    gh, gw = vt_map.shape[:2]
+    img_w = gw / cfg.vt_spatial_scale
+    img_h = gh / cfg.vt_spatial_scale
+    pos = _xyxy_to_normalized_cxcywh(vt_boxes.astype(jnp.float32), img_w, img_h)
+    return gen_sineembed_for_position(pos, dim_feats)

@@ -1,0 +1,172 @@
+"""Qwen2.5-VL vision transformer, TPU-native.
+
+Design notes vs the reference (modeling_qwen2_5_vl.py:404-563):
+- Tokens live in a *padded window layout* [B, P, D] where P = num_windows *
+  window_tokens (see preprocess/windowing.py). Window attention is a dense
+  batched attention over [B*W, 64, D] tiles; the 4 full-attention blocks run
+  over the whole padded sequence with a validity mask. No varlen kernels, no
+  dynamic shapes — XLA sees the same static program for every image of a
+  given grid geometry.
+- The reference's feature GATHER monkey-patch (qwen2_5_vl_encoder.py:9-171)
+  becomes a pure multi-output: hidden states at the full-attention blocks are
+  returned functionally.
+- patch_embed is a plain [patch_dim -> D] matmul (the reference's Conv3d with
+  stride == kernel collapses to exactly this).
+
+Numerics parity: RMSNorm stats and rotary application in fp32, softmax in
+fp32 (reference :135-140, :219-230, :275).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from vlm_fo1_tpu import nn
+from vlm_fo1_tpu.config import ViTConfig
+
+
+def init_vit_params(key, cfg: ViTConfig, dtype=jnp.float32) -> dict:
+    keys = jax.random.split(key, cfg.depth + 2)
+    d = cfg.hidden_size
+    blocks = []
+    for i in range(cfg.depth):
+        k = jax.random.split(keys[i], 5)
+        blocks.append({
+            "norm1": nn.rms_norm_init(d, dtype),
+            "norm2": nn.rms_norm_init(d, dtype),
+            "attn": {
+                "qkv": nn.linear_init(k[0], d, 3 * d, dtype=dtype),
+                "proj": nn.linear_init(k[1], d, d, dtype=dtype),
+            },
+            "mlp": {
+                "gate_proj": nn.linear_init(k[2], d, cfg.intermediate_size, dtype=dtype),
+                "up_proj": nn.linear_init(k[3], d, cfg.intermediate_size, dtype=dtype),
+                "down_proj": nn.linear_init(k[4], cfg.intermediate_size, d, dtype=dtype),
+            },
+        })
+    km = jax.random.split(keys[-1], 2)
+    merged_dim = d * cfg.spatial_merge_unit
+    return {
+        "patch_embed": {"proj": nn.linear_init(keys[-2], cfg.patch_dim, d,
+                                               bias=False, dtype=dtype)},
+        "blocks": blocks,
+        "merger": {
+            "ln_q": nn.rms_norm_init(d, dtype),
+            "fc1": nn.linear_init(km[0], merged_dim, merged_dim, dtype=dtype),
+            "fc2": nn.linear_init(km[1], merged_dim, cfg.out_hidden_size, dtype=dtype),
+        },
+    }
+
+
+def _apply_rotary(x, cos, sin):
+    """rotate-half rotary in fp32 (x: [B, P, H, hd], cos/sin: [P, hd])."""
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    half = xf.shape[-1] // 2
+    rot = jnp.concatenate([-xf[..., half:], xf[..., :half]], axis=-1)
+    out = xf * cos[None, :, None, :] + rot * sin[None, :, None, :]
+    return out.astype(dt)
+
+
+def _attention(p, x, cos, sin, mask, num_heads, *, windowed, num_windows):
+    """One attention layer over the padded layout.
+
+    x: [B, P, D]; mask: [B, 1, P, P] for full attention or
+    [B*W, 1, T, T] for windowed; True = attend.
+    """
+    b, pad, d = x.shape
+    hd = d // num_heads
+    qkv = nn.linear(p["qkv"], x).reshape(b, pad, 3, num_heads, hd)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    q = _apply_rotary(q, cos, sin)
+    k = _apply_rotary(k, cos, sin)
+
+    if windowed:
+        t = pad // num_windows
+        shape = (b * num_windows, t, num_heads, hd)
+        q, k, v = (a.reshape(shape) for a in (q, k, v))
+        out = nn.sdpa(q, k, v, mask=mask)
+        out = out.reshape(b, pad, d)
+    else:
+        out = nn.sdpa(q, k, v, mask=mask).reshape(b, pad, d)
+    return nn.linear(p["proj"], out)
+
+
+def _mlp(p, x, act):
+    return nn.linear(p["down_proj"],
+                     act(nn.linear(p["gate_proj"], x)) * nn.linear(p["up_proj"], x))
+
+
+def vit_forward(
+    params: dict,
+    cfg: ViTConfig,
+    patches: jnp.ndarray,       # [B, P, patch_dim] padded-window layout
+    rot_cos: jnp.ndarray,       # [P, head_dim]
+    rot_sin: jnp.ndarray,       # [P, head_dim]
+    valid: jnp.ndarray,         # [P] bool
+    *,
+    num_windows: int,
+    inv_unit_idx: jnp.ndarray,  # [U] padded-unit slot per original merge unit
+    capture_multi_level: bool = True,
+):
+    """Returns:
+        tokens: [B, U, out_hidden] merged vision tokens in original order
+        captures: list of [B, P, D] hidden states at full-attention blocks
+            (padded window order; len == len(fullatt_block_indexes)), or [].
+    """
+    b, pad, _ = patches.shape
+    act = nn.ACT[cfg.hidden_act]
+    x = nn.linear(params["patch_embed"]["proj"], patches)
+
+    wt = pad // num_windows
+    valid_w = valid.reshape(num_windows, wt)
+    win_mask = (valid_w[:, None, :, None] & valid_w[:, None, None, :])
+    win_mask = jnp.broadcast_to(win_mask, (num_windows, 1, wt, wt))
+    win_mask = jnp.tile(win_mask, (b, 1, 1, 1))  # [B*W, 1, T, T]
+    full_mask = (valid[None, None, :, None] & valid[None, None, None, :])
+
+    fullatt = set(cfg.fullatt_block_indexes)
+    captures = []
+    for i, blk in enumerate(params["blocks"]):
+        is_full = i in fullatt
+        attn_out = _attention(
+            blk["attn"], nn.rms_norm(blk["norm1"], x), rot_cos, rot_sin,
+            full_mask if is_full else win_mask,
+            cfg.num_heads, windowed=not is_full, num_windows=num_windows)
+        x = x + attn_out
+        x = x + _mlp(blk["mlp"], nn.rms_norm(blk["norm2"], x), act)
+        if capture_multi_level and is_full:
+            captures.append(x)
+
+    # patch merger: fold each merge unit's 4 tokens into one vision token
+    m = params["merger"]
+    y = nn.rms_norm(m["ln_q"], x, eps=1e-6)
+    y = y.reshape(b, pad // cfg.spatial_merge_unit, -1)
+    y = nn.linear(m["fc2"], jax.nn.gelu(nn.linear(m["fc1"], y), approximate=False))
+    tokens = jnp.take(y, inv_unit_idx, axis=1)  # drop pads, original order
+    return tokens, captures
+
+
+def captures_to_feature_map(
+    captures: list[jnp.ndarray],
+    inv_token_idx: jnp.ndarray,
+    grid_thw: tuple[int, int, int],
+    merge_size: int = 2,
+) -> jnp.ndarray:
+    """Convert captured hidden states to a channel-last feature map.
+
+    Equivalent to the reference's VisionFeaturesGather.extract_multi_level_features
+    (qwen2_5_vl_encoder.py:37-80) which un-permutes the window order and emits
+    4 maps [1, D, gh, gw]; we return one concatenated [B, gh, gw, 4D] map
+    (the HFRE concatenates them channel-wise anyway, hybrid...:259-261).
+    """
+    t, gh, gw = grid_thw
+    x = jnp.concatenate(captures, axis=-1)          # [B, P, 4D]
+    x = jnp.take(x, inv_token_idx, axis=1)          # [B, S, 4D] original order
+    b, s, c = x.shape
+    m = merge_size
+    # token order is (h_block, w_block, merge_h, merge_w) per frame
+    x = x.reshape(b, t, gh // m, gw // m, m, m, c)
+    x = x.transpose(0, 1, 2, 4, 3, 5, 6)            # [B, t, gh/m, m, gw/m, m, C]
+    return x.reshape(b, t * gh, gw, c)

@@ -1,0 +1,130 @@
+"""ROIAlign on channel-last feature maps (torchvision-compatible numerics).
+
+The reference pools region features with torchvision.ops.roi_align
+(hybrid_finegrained_region_encoder.py:353-358, :263-268; aligned=False).
+TPU-first differences:
+
+- channel-last [H, W, C] feature maps: each bilinear tap is a contiguous
+  row-gather of the full channel vector — the gather moves 4*C bytes per tap
+  and the arithmetic (weighting + bin average) runs on the VPU over the C
+  lanes.
+- static `sampling_ratio` (default 2): torchvision's adaptive ratio
+  (ceil(roi_h / out_h) taps per bin) is data-dependent per box, which would
+  force dynamic shapes under jit. With the HFRE's 7x7 -> mean pooling the
+  fixed 2x2 taps/bin are numerically indistinguishable in the pooled feature
+  for typical box sizes; exact-adaptive parity is available via
+  roi_align_adaptive (host/numpy) for validation.
+
+Border semantics match torchvision exactly: a sample point with y < -1 or
+y > H contributes 0; otherwise coordinates clamp to [0, H-1] and bilinear
+corners clamp high (low == high at the border).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def roi_align(
+    feat: jnp.ndarray,        # [H, W, C] (single image) float
+    boxes: jnp.ndarray,       # [N, 4] xyxy in input-pixel coords
+    output_size: int,
+    spatial_scale: float,
+    sampling_ratio: int = 2,
+) -> jnp.ndarray:
+    """Returns [N, output_size, output_size, C] float32."""
+    h, w, c = feat.shape
+    oh = ow = int(output_size)
+    ns = int(sampling_ratio)
+    boxes = boxes.astype(jnp.float32) * spatial_scale
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    roi_w = jnp.maximum(x2 - x1, 1.0)
+    roi_h = jnp.maximum(y2 - y1, 1.0)
+    bin_w = roi_w / ow
+    bin_h = roi_h / oh
+
+    # sample grid: [N, o, ns] per axis
+    iy = (jnp.arange(ns, dtype=jnp.float32) + 0.5) / ns
+    ph = jnp.arange(oh, dtype=jnp.float32)
+    ys = (y1[:, None, None]
+          + (ph[None, :, None] + iy[None, None, :]) * bin_h[:, None, None])
+    pw = jnp.arange(ow, dtype=jnp.float32)
+    xs = (x1[:, None, None]
+          + (pw[None, :, None] + iy[None, None, :]) * bin_w[:, None, None])
+
+    # all sample points: [N, oh, ns_y, ow, ns_x]
+    y = ys[:, :, :, None, None]
+    x = xs[:, None, None, :, :]
+    y = jnp.broadcast_to(y, (boxes.shape[0], oh, ns, ow, ns))
+    x = jnp.broadcast_to(x, (boxes.shape[0], oh, ns, ow, ns))
+
+    out_of_bounds = (y < -1.0) | (y > h) | (x < -1.0) | (x > w)
+    yc = jnp.clip(y, 0.0, h - 1)
+    xc = jnp.clip(x, 0.0, w - 1)
+    y0 = jnp.floor(yc).astype(jnp.int32)
+    x0 = jnp.floor(xc).astype(jnp.int32)
+    y1i = jnp.minimum(y0 + 1, h - 1)
+    x1i = jnp.minimum(x0 + 1, w - 1)
+    ly = yc - y0
+    lx = xc - x0
+    hy, hx = 1.0 - ly, 1.0 - lx
+
+    flat = feat.reshape(h * w, c).astype(jnp.float32)
+
+    def tap(yi, xi, wgt):
+        g = jnp.take(flat, (yi * w + xi).reshape(-1), axis=0)
+        g = g.reshape(*yi.shape, c)
+        return g * wgt[..., None]
+
+    val = (tap(y0, x0, hy * hx) + tap(y0, x1i, hy * lx)
+           + tap(y1i, x0, ly * hx) + tap(y1i, x1i, ly * lx))
+    val = jnp.where(out_of_bounds[..., None], 0.0, val)
+    # average taps within each bin: [N, oh, ns, ow, ns, C] -> [N, oh, ow, C]
+    return val.mean(axis=(2, 4))
+
+
+def roi_align_mean(feat, boxes, output_size, spatial_scale, sampling_ratio=2):
+    """ROIAlign followed by spatial mean-pool -> [N, C] (the only form the
+    HFRE consumes, hybrid...:361-363)."""
+    pooled = roi_align(feat, boxes, output_size, spatial_scale, sampling_ratio)
+    return pooled.mean(axis=(1, 2))
+
+
+def roi_align_adaptive(
+    feat: np.ndarray, boxes: np.ndarray, output_size: int,
+    spatial_scale: float,
+) -> np.ndarray:
+    """Host/numpy reference with torchvision's *adaptive* sampling ratio
+    (sampling_ratio=-1: ceil(roi extent / output bins) taps per bin). Used in
+    tests to quantify the static-ratio approximation; not jit-compatible."""
+    h, w, c = feat.shape
+    oh = ow = int(output_size)
+    out = np.zeros((len(boxes), oh, ow, c), np.float32)
+    feat = feat.astype(np.float32)
+    for n, (bx1, by1, bx2, by2) in enumerate(np.asarray(boxes, np.float64)):
+        x1, y1 = bx1 * spatial_scale, by1 * spatial_scale
+        x2, y2 = bx2 * spatial_scale, by2 * spatial_scale
+        roi_w, roi_h = max(x2 - x1, 1.0), max(y2 - y1, 1.0)
+        bw, bh = roi_w / ow, roi_h / oh
+        nsy = int(np.ceil(roi_h / oh))
+        nsx = int(np.ceil(roi_w / ow))
+        for py in range(oh):
+            for px in range(ow):
+                acc = np.zeros(c, np.float32)
+                for sy in range(nsy):
+                    yy = y1 + (py + (sy + 0.5) / nsy) * bh
+                    for sx in range(nsx):
+                        xx = x1 + (px + (sx + 0.5) / nsx) * bw
+                        if yy < -1.0 or yy > h or xx < -1.0 or xx > w:
+                            continue
+                        yc, xc = min(max(yy, 0.0), h - 1), min(max(xx, 0.0), w - 1)
+                        y0, x0 = int(yc), int(xc)
+                        y1i, x1i = min(y0 + 1, h - 1), min(x0 + 1, w - 1)
+                        ly, lx = yc - y0, xc - x0
+                        acc += ((1 - ly) * (1 - lx) * feat[y0, x0]
+                                + (1 - ly) * lx * feat[y0, x1i]
+                                + ly * (1 - lx) * feat[y1i, x0]
+                                + ly * lx * feat[y1i, x1i]).astype(np.float32)
+                out[n, py, px] = acc / (nsy * nsx)
+    return out
