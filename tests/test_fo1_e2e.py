@@ -1,0 +1,115 @@
+"""End-to-end FO1 pipeline on the tiny config: messages -> preprocess ->
+encode -> splice -> prefill -> decode."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from vlm_fo1_tpu.config import FO1Config
+from vlm_fo1_tpu.models.fo1 import FO1Model
+from vlm_fo1_tpu.task_templates import OD_template
+
+
+@pytest.fixture(scope="module")
+def model():
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from conftest import StubTokenizer
+
+    cfg = FO1Config.tiny()
+    return FO1Model.random_init(cfg, seed=0, tokenizer=StubTokenizer())
+
+
+def _messages(rng, n_boxes=3):
+    arr = rng.integers(0, 255, size=(120, 160, 3), dtype=np.uint8)
+    img = Image.fromarray(arr)
+    boxes = [[10.0 * i, 5.0 * i, 30.0 + 10.0 * i, 40.0 + 5.0 * i]
+             for i in range(n_boxes)]
+    return [{
+        "role": "user",
+        "content": [
+            {"type": "image_url", "image_url": {"url": img}},
+            {"type": "text", "text": OD_template.format("orange")},
+        ],
+        "bbox_list": boxes,
+    }]
+
+
+def test_prefill_logits_finite(model, rng):
+    """Guards the whole encode+splice+prefill path against NaN poisoning
+    (e.g. out-of-vocab ids hitting jnp.take's NaN fill mode)."""
+    import jax.numpy as jnp
+
+    from vlm_fo1_tpu.models.fo1 import _splice_embeds
+    from vlm_fo1_tpu.runtime.generate import pad_to_bucket, prefill
+
+    msgs = _messages(rng)
+    prep = model.prepare(msgs, max_pixels=128 * 128)
+    vt, _, nb, regp = model.encode(prep)
+    info = prep["splice"]
+    s = info.seq_len
+    pad_len = pad_to_bucket(s, 128)
+    reg_pos = np.full(nb, s, np.int32)
+    reg_pos[:len(info.region_positions)] = info.region_positions
+    embeds = _splice_embeds(model.params["text"], jnp.asarray(info.input_ids),
+                            vt, jnp.asarray(info.image_positions), regp,
+                            jnp.asarray(reg_pos), pad_len=pad_len)
+    assert np.isfinite(np.asarray(embeds)).all()
+    pos = np.zeros((3, 1, pad_len), np.int32)
+    pos[:, :, :s] = prep["position_ids"]
+    _, logits = prefill(model.params["text"], model.cfg.text, embeds,
+                        jnp.asarray(pos), jnp.asarray([s]),
+                        cache_len=pad_len + 8)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_generate_runs_and_is_deterministic(model, rng):
+    msgs = _messages(rng)
+    r1 = model.generate(msgs, max_new_tokens=6, max_pixels=128 * 128)
+    r2 = model.generate(msgs, max_new_tokens=6, max_pixels=128 * 128)
+    assert r1.num_steps >= 1
+    assert len(r1.token_ids) <= 6
+    np.testing.assert_array_equal(r1.token_ids, r2.token_ids)
+    assert (np.asarray(r1.token_ids) >= 0).all()
+    assert (np.asarray(r1.token_ids) < model.cfg.text.vocab_size).all()
+
+
+def test_boxes_change_output_embedding(model, rng):
+    """Region features must actually enter the sequence: different boxes ->
+    different prefill state (checked via generated tokens or encode output)."""
+    msgs_a = _messages(rng, n_boxes=2)
+    prep_a = model.prepare(msgs_a, max_pixels=128 * 128)
+    _, reg_a, _, _ = model.encode(prep_a)
+
+    msgs_b = _messages(rng, n_boxes=2)
+    msgs_b[0]["bbox_list"] = [[0.0, 0.0, 150.0, 110.0], [5.0, 5.0, 20.0, 20.0]]
+    prep_b = model.prepare(msgs_b, max_pixels=128 * 128)
+    _, reg_b, _, _ = model.encode(prep_b)
+
+    assert np.abs(np.asarray(reg_a) - np.asarray(reg_b)).max() > 1e-4
+
+
+def test_prepare_splice_consistency(model, rng):
+    msgs = _messages(rng, n_boxes=4)
+    prep = model.prepare(msgs, max_pixels=128 * 128)
+    info = prep["splice"]
+    # one image span of num_units tokens + 4 region slots
+    assert len(info.image_positions) == prep["plan"].num_units
+    assert len(info.region_positions) == 4
+    # expanded ids at region positions carry the sentinel
+    assert all(info.input_ids[p] == -300 for p in info.region_positions)
+    assert prep["position_ids"].shape == (3, 1, info.seq_len)
+
+
+def test_no_boxes_message(model, rng):
+    """Messages without bbox_list follow the image-only path."""
+    arr = rng.integers(0, 255, size=(80, 80, 3), dtype=np.uint8)
+    msgs = [{
+        "role": "user",
+        "content": [
+            {"type": "image_url", "image_url": {"url": Image.fromarray(arr)}},
+            {"type": "text", "text": "describe"},
+        ],
+    }]
+    r = model.generate(msgs, max_new_tokens=4, max_pixels=128 * 128)
+    assert r.num_steps >= 1

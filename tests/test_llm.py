@@ -1,0 +1,173 @@
+"""Qwen2.5 decoder parity vs the HF implementation (tiny config, shared
+weights): single forward, M-RoPE tables, KV-cache decode, greedy generate."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vlm_fo1_tpu.checkpoint import convert_text_model, strip_prefix, to_device_tree
+from vlm_fo1_tpu.config import TextConfig
+from vlm_fo1_tpu.models import llm
+from vlm_fo1_tpu.preprocess.mrope import get_rope_index
+from vlm_fo1_tpu.runtime.generate import (
+    GenerationConfig,
+    decode_loop,
+    pad_to_bucket,
+    prefill,
+)
+
+CFG = TextConfig(
+    vocab_size=256, hidden_size=32, intermediate_size=64,
+    num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+    head_dim=8, mrope_section=(2, 1, 1), rms_norm_eps=1e-5,
+    tie_word_embeddings=False,
+)
+
+
+@pytest.fixture(scope="module")
+def hf_model():
+    torch = pytest.importorskip("torch")
+    from transformers.models.qwen2_5_vl.configuration_qwen2_5_vl import (
+        Qwen2_5_VLConfig,
+    )
+    from transformers.models.qwen2_5_vl.modeling_qwen2_5_vl import (
+        Qwen2_5_VLForConditionalGeneration,
+    )
+
+    cfg = Qwen2_5_VLConfig(
+        vocab_size=CFG.vocab_size, hidden_size=CFG.hidden_size,
+        intermediate_size=CFG.intermediate_size,
+        num_hidden_layers=CFG.num_hidden_layers,
+        num_attention_heads=CFG.num_attention_heads,
+        num_key_value_heads=CFG.num_key_value_heads,
+        rms_norm_eps=CFG.rms_norm_eps, rope_theta=CFG.rope_theta,
+        tie_word_embeddings=False,
+        rope_scaling={"type": "mrope",
+                      "mrope_section": list(CFG.mrope_section)},
+        vision_config=dict(depth=1, hidden_size=16, intermediate_size=32,
+                           num_heads=2, out_hidden_size=CFG.hidden_size),
+    )
+    cfg._attn_implementation = "eager"
+    torch.manual_seed(7)
+    model = Qwen2_5_VLForConditionalGeneration(cfg).eval()
+    return model
+
+
+def _params(hf_model):
+    sd = {k: v.numpy() for k, v in hf_model.state_dict().items()}
+    flat = strip_prefix(sd, "model.language_model.")
+    flat.update({k: v for k, v in sd.items() if k.startswith("lm_head")})
+    return to_device_tree(convert_text_model(flat, CFG), dtype=jnp.float32)
+
+
+def test_forward_matches_hf(hf_model, rng):
+    torch = pytest.importorskip("torch")
+    params = _params(hf_model)
+    b, s = 2, 9
+    ids = rng.integers(0, CFG.vocab_size, size=(b, s))
+    pos, _ = get_rope_index(ids, None)
+
+    with torch.no_grad():
+        out = hf_model(input_ids=torch.tensor(ids),
+                       position_ids=torch.tensor(np.asarray(pos, np.int64)))
+    ref_logits = out.logits.numpy()
+
+    embeds = llm.embed_tokens(params, jnp.asarray(ids))
+    cos, sin = llm.mrope_cos_sin(jnp.asarray(pos), CFG)
+    q = jnp.arange(s)[None, :, None]
+    k = jnp.arange(s)[None, None, :]
+    mask = (k <= q)[:, None]
+    hidden, _ = llm.text_forward(params, CFG, embeds, cos, sin, mask)
+    logits = np.asarray(llm.lm_head_logits(params, CFG, hidden))
+    np.testing.assert_allclose(logits, ref_logits, atol=3e-4, rtol=1e-3)
+
+
+def test_prefill_decode_matches_full_forward(hf_model, rng):
+    """Decode with the static KV cache must equal running the whole sequence
+    at once."""
+    params = _params(hf_model)
+    ids = rng.integers(0, CFG.vocab_size, size=(1, 7))
+    full = np.concatenate([ids, rng.integers(0, CFG.vocab_size, (1, 3))], 1)
+    pos_full, _ = get_rope_index(full, None)
+
+    # oracle: full forward
+    embeds = llm.embed_tokens(params, jnp.asarray(full))
+    cos, sin = llm.mrope_cos_sin(jnp.asarray(pos_full), CFG)
+    s = full.shape[1]
+    mask = (jnp.arange(s)[None, None, :] <= jnp.arange(s)[None, :, None])[:, None]
+    hidden_full, _ = llm.text_forward(params, CFG, embeds, cos, sin, mask)
+    ref = np.asarray(llm.lm_head_logits(params, CFG, hidden_full))
+
+    # prefill on the first 7, then 3 cached decode steps
+    pos_p, _ = get_rope_index(ids, None)
+    sp = pad_to_bucket(7, 8)
+    emb_p = jnp.zeros((1, sp, CFG.hidden_size)).at[:, :7].set(
+        llm.embed_tokens(params, jnp.asarray(ids)))
+    posp = np.zeros((3, 1, sp), np.int32)
+    posp[:, :, :7] = pos_p
+    cache, logits = prefill(params, CFG, emb_p, jnp.asarray(posp),
+                            jnp.asarray([7]), cache_len=16)
+    np.testing.assert_allclose(np.asarray(logits), ref[:, 6], atol=3e-4,
+                               rtol=1e-3)
+
+    for step in range(3):
+        tok = full[:, 7 + step]
+        emb = llm.embed_tokens(params, jnp.asarray(tok)[:, None])
+        p = jnp.broadcast_to(jnp.int32(7 + step)[None, None, None], (3, 1, 1))
+        cos1, sin1 = llm.mrope_cos_sin(p, CFG)
+        mask1 = (jnp.arange(16) <= 7 + step)[None, None, None, :]
+        hidden, cache = llm.text_forward(params, CFG, emb, cos1, sin1, mask1,
+                                         kv_cache=cache, cache_offset=7 + step)
+        got = np.asarray(llm.lm_head_logits(params, CFG, hidden))[:, 0]
+        np.testing.assert_allclose(got, ref[:, 7 + step], atol=3e-4, rtol=1e-3)
+
+
+def test_greedy_generate_matches_hf(hf_model, rng):
+    torch = pytest.importorskip("torch")
+    params = _params(hf_model)
+    ids = rng.integers(0, CFG.vocab_size, size=(1, 6))
+    max_new = 8
+
+    with torch.no_grad():
+        hf_out = hf_model.generate(
+            input_ids=torch.tensor(ids), max_new_tokens=max_new,
+            do_sample=False, use_cache=True,
+            pad_token_id=0, eos_token_id=-1)
+    ref_tokens = hf_out[0, 6:].numpy()
+
+    pos, deltas = get_rope_index(ids, None)
+    sp = pad_to_bucket(6, 8)
+    emb = jnp.zeros((1, sp, CFG.hidden_size)).at[:, :6].set(
+        llm.embed_tokens(params, jnp.asarray(ids)))
+    posp = np.zeros((3, 1, sp), np.int32)
+    posp[:, :, :6] = pos
+    cache, logits = prefill(params, CFG, emb, jnp.asarray(posp),
+                            jnp.asarray([6]), cache_len=sp + max_new)
+    gen_cfg = GenerationConfig(max_new_tokens=max_new, temperature=0.0,
+                               eos_token_id=-7, pad_token_id=0)
+    tokens, steps = decode_loop(params, CFG, gen_cfg, cache, logits,
+                                jnp.asarray([6]), jnp.asarray(deltas[:, 0]),
+                                jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(tokens)[0], ref_tokens)
+    assert int(steps) == max_new
+
+
+def test_decode_stops_at_eos(hf_model, rng):
+    params = _params(hf_model)
+    ids = rng.integers(0, CFG.vocab_size, size=(1, 6))
+    pos, deltas = get_rope_index(ids, None)
+    emb = llm.embed_tokens(params, jnp.asarray(ids))
+    cache, logits = prefill(params, CFG, emb, jnp.asarray(pos),
+                            jnp.asarray([6]), cache_len=32)
+    # force EOS = the actual greedy first token -> loop must stop immediately
+    eos = int(np.asarray(jnp.argmax(logits, -1))[0])
+    gen_cfg = GenerationConfig(max_new_tokens=8, temperature=0.0,
+                               eos_token_id=eos, pad_token_id=0)
+    tokens, steps = decode_loop(params, CFG, gen_cfg, cache, logits,
+                                jnp.asarray([6]), jnp.asarray(deltas[:, 0]),
+                                jax.random.PRNGKey(0))
+    assert int(steps) == 1
+    assert int(np.asarray(tokens)[0, 0]) == eos
+    assert (np.asarray(tokens)[0, 1:] == 0).all()

@@ -1,0 +1,289 @@
+"""FO1 model composition: dual vision towers + HFRE + projectors + LLM.
+
+The TPU counterpart of OmChatQwen25VLForCausalLM (reference
+omchat_qwen2_5_vl.py) and OmChatMetaModel (omchat_arch.py:7-33). Device work
+is split into three jitted programs, cached per static geometry:
+
+  encode   (per image grid x box bucket): ViT padded-window forward with
+           multi-level captures + DaViT + HFRE + both projectors
+  prefill  (per prompt-length bucket): multimodal splice -> trunk -> KV cache
+  decode   (one program): static-cache while_loop
+
+Host code (numpy) does image preprocessing, window planning, token expansion
+and M-RoPE indices — everything data-dependent and branchy.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vlm_fo1_tpu import preprocess as pp
+from vlm_fo1_tpu.config import FO1Config
+from vlm_fo1_tpu.models import llm
+from vlm_fo1_tpu.models.davit import davit_forward, init_davit_params
+from vlm_fo1_tpu.models.hfre import hfre_forward, upsample_concat_aux
+from vlm_fo1_tpu.models.projector import init_projector_params, projector_forward
+from vlm_fo1_tpu.models.vit import (
+    captures_to_feature_map,
+    init_vit_params,
+    vit_forward,
+)
+from vlm_fo1_tpu.preprocess.tokens import (
+    SpliceInfo,
+    build_chat_tokens,
+    expand_multimodal_tokens,
+)
+from vlm_fo1_tpu.preprocess.windowing import build_vit_plan, pad_pixel_values
+from vlm_fo1_tpu.runtime.generate import (
+    GenerationConfig,
+    decode_loop,
+    decode_to_text,
+    pad_to_bucket,
+    prefill,
+)
+
+BOX_BUCKET = 10  # boxes padded to a multiple of this (cap 100)
+
+
+def _round_boxes(n: int) -> int:
+    return max(BOX_BUCKET, -(-n // BOX_BUCKET) * BOX_BUCKET)
+
+
+@partial(jax.jit, static_argnames=("cfg", "num_windows", "grid"))
+def _encode_image_and_regions(
+    params, cfg: FO1Config,
+    patches,              # [1, P, patch_dim]
+    rot_cos, rot_sin, valid, inv_unit_idx, inv_token_idx,
+    aux_image,            # [1, Ha, Wa, 3]
+    aux_boxes, vt_boxes,  # [Nb, 4] (bucketed)
+    *, num_windows: int, grid: tuple,
+):
+    """One compiled program for the whole vision + region path."""
+    tokens, captures = vit_forward(
+        params["vision_tower"], cfg.vision, patches, rot_cos, rot_sin, valid,
+        num_windows=num_windows, inv_unit_idx=inv_unit_idx)
+    vision_tokens = projector_forward(
+        params["mm_projector"], cfg.mm_projector_type, tokens)[0]
+
+    vt_map = captures_to_feature_map(captures, inv_token_idx, grid,
+                                     cfg.vision.spatial_merge_size)[0]
+    stage_maps = davit_forward(params["vision_tower_aux"], cfg.davit, aux_image)
+    aux_concat = upsample_concat_aux(stage_maps)[0]
+    region_feats = hfre_forward(params.get("hfre", {}), cfg.hfre, aux_concat,
+                                aux_boxes, vt_map, vt_boxes)
+    region_tokens = projector_forward(
+        params["mm_projector_aux"], cfg.mm_projector_aux_type,
+        region_feats.astype(vision_tokens.dtype))
+    return vision_tokens, region_tokens
+
+
+@partial(jax.jit, static_argnames=("pad_len",))
+def _splice_embeds(params_text, input_ids, image_feats, image_positions,
+                   region_feats, region_positions, *, pad_len: int):
+    """Embed + scatter features; positions padded with index S point at an
+    extra scratch row which is dropped, so box-count bucketing never writes
+    into the real sequence."""
+    s = input_ids.shape[0]
+    embeds = llm.embed_tokens(params_text, jnp.maximum(input_ids, 0))
+    scratch = jnp.zeros((s + 1, embeds.shape[-1]), embeds.dtype)
+    scratch = scratch.at[:s].set(embeds)
+    scratch = scratch.at[image_positions].set(image_feats.astype(embeds.dtype))
+    scratch = scratch.at[region_positions].set(region_feats.astype(embeds.dtype))
+    out = scratch[:s]
+    pad = jnp.zeros((pad_len - s, embeds.shape[-1]), embeds.dtype)
+    return jnp.concatenate([out, pad], axis=0)[None]
+
+
+@dataclass
+class GenerationResult:
+    text: str
+    token_ids: np.ndarray        # generated ids (trimmed at EOS)
+    prompt_len: int
+    num_steps: int
+
+
+class FO1Model:
+    """Stateful convenience wrapper over the functional model."""
+
+    def __init__(self, cfg: FO1Config, params: dict, tokenizer=None):
+        self.cfg = cfg
+        self.params = params
+        self.tokenizer = tokenizer
+
+    # ------------------------------------------------------------- init
+
+    @classmethod
+    def random_init(cls, cfg: FO1Config, seed: int = 0, dtype=jnp.float32,
+                    tokenizer=None) -> "FO1Model":
+        key = jax.random.PRNGKey(seed)
+        k = jax.random.split(key, 5)
+        vt_in = (cfg.vision.hidden_size * len(cfg.vision.fullatt_block_indexes)
+                 + sum(cfg.hfre.aux_region_feature_dims))
+        params = {
+            "vision_tower": init_vit_params(k[0], cfg.vision, dtype),
+            "vision_tower_aux": init_davit_params(k[1], cfg.davit, dtype),
+            "text": llm.init_text_params(k[2], cfg.text, dtype),
+            "mm_projector": init_projector_params(
+                k[3], cfg.mm_projector_type, cfg.mm_hidden_size,
+                cfg.text.hidden_size, dtype),
+            "mm_projector_aux": init_projector_params(
+                k[4], cfg.mm_projector_aux_type, cfg.mm_region_hidden_size,
+                cfg.text.hidden_size, dtype),
+            "hfre": {},
+        }
+        return cls(cfg, params, tokenizer)
+
+    @classmethod
+    def from_pretrained(cls, model_path: str, dtype=jnp.bfloat16,
+                        tokenizer=None) -> "FO1Model":
+        import os
+
+        from vlm_fo1_tpu.checkpoint import load_fo1_checkpoint
+
+        cfg = FO1Config.from_hf_config(os.path.join(model_path, "config.json"))
+        params = load_fo1_checkpoint(model_path, cfg, dtype)
+        if tokenizer is None:
+            try:
+                from transformers import AutoTokenizer
+
+                tokenizer = AutoTokenizer.from_pretrained(model_path)
+            except Exception:
+                tokenizer = None
+        return cls(cfg, params, tokenizer)
+
+    # ------------------------------------------------------ host pipeline
+
+    def prepare(self, messages: list[dict], max_pixels: int | None = None):
+        """Host-side preparation mirroring prepare_inputs
+        (reference mm_utils.py:530-655). Returns everything the device
+        programs need."""
+        cfg = self.cfg
+        prompt, tokens, image_urls, bbox_list = build_chat_tokens(
+            self.tokenizer, messages)
+        if not image_urls:
+            raise ValueError("FO1 requires at least one image message")
+        images = [pp.load_image(u) for u in image_urls]
+        # always pass per-image box lists (regions attach to the first image,
+        # matching the reference single-image region flow)
+        per_image = [list(bbox_list or [])] + [[] for _ in images[1:]]
+        images, bbox_lists = pp.resize_shortest_edge_images_and_bboxes(
+            images, per_image, max_size=cfg.max_image_long_side)
+        bbox_list = bbox_lists[0]
+
+        img = images[0]  # reference processes the first image's regions
+        pv, grid = pp.qwen_image_preprocess(
+            img, patch_size=cfg.vision.patch_size,
+            merge_size=cfg.vision.spatial_merge_size,
+            min_pixels=cfg.min_pixels,
+            max_pixels=max_pixels or cfg.max_pixels)
+        aux = pp.aux_image_preprocess(img, cfg.aux_image_size)
+
+        boxes = bbox_list[:cfg.max_regions]
+        w, h = img.size
+        aux_boxes = np.asarray(
+            pp.adjust_bbox(boxes, h, w, cfg.aux_image_size, cfg.aux_image_size)
+            if boxes else np.zeros((0, 4)), np.float32).reshape(-1, 4)
+        # rescale aux-space boxes into ViT-input pixel space
+        # (reference omchat_qwen2_5_vl.py:94-99)
+        sx = grid[2] * cfg.vision.patch_size / cfg.aux_image_size
+        sy = grid[1] * cfg.vision.patch_size / cfg.aux_image_size
+        vt_boxes = aux_boxes * np.array([sx, sy, sx, sy], np.float32)
+
+        plan = build_vit_plan(grid, cfg.vision)
+        info = expand_multimodal_tokens(tokens, [plan.num_units],
+                                        cfg.image_token_id)
+        pos_ids, deltas = pp.get_rope_index(
+            info.input_ids[None], [grid],
+            spatial_merge_size=cfg.vision.spatial_merge_size,
+            image_token_id=cfg.image_token_id,
+            video_token_id=cfg.video_token_id,
+            vision_start_token_id=cfg.vision_start_token_id)
+        return {
+            "prompt": prompt, "images": images, "bbox_list": boxes,
+            "pixel_values": pv, "grid": grid, "plan": plan, "aux": aux,
+            "aux_boxes": aux_boxes, "vt_boxes": vt_boxes, "splice": info,
+            "position_ids": pos_ids, "rope_deltas": deltas,
+        }
+
+    # ---------------------------------------------------------- device
+
+    def encode(self, prep: dict):
+        """Run the jitted vision/region program. Returns
+        (vision_tokens [U, D], region_tokens [n_real, D])."""
+        cfg = self.cfg
+        plan = prep["plan"]
+        n_real = len(prep["aux_boxes"])
+        nb = _round_boxes(max(n_real, 1))
+        dummy = np.array([[0.0, 10.0, 0.0, 10.0]], np.float32)
+        aux_b = np.concatenate(
+            [prep["aux_boxes"], np.tile(dummy, (nb - n_real, 1))])[:nb]
+        vt_b = np.concatenate(
+            [prep["vt_boxes"], np.tile(dummy, (nb - n_real, 1))])[:nb]
+
+        dt = jax.tree.leaves(self.params["vision_tower"])[0].dtype
+        patches = jnp.asarray(
+            pad_pixel_values(prep["pixel_values"], plan)[None], dtype=dt)
+        aux_img = jnp.asarray(prep["aux"].transpose(1, 2, 0)[None], dtype=dt)
+        vision_tokens, region_tokens = _encode_image_and_regions(
+            self.params, cfg, patches,
+            jnp.asarray(plan.rot_cos), jnp.asarray(plan.rot_sin),
+            jnp.asarray(plan.valid), jnp.asarray(plan.inv_unit_idx),
+            jnp.asarray(plan.inv_token_idx), aux_img,
+            jnp.asarray(aux_b), jnp.asarray(vt_b),
+            num_windows=plan.num_windows, grid=prep["grid"])
+        return vision_tokens, region_tokens[:n_real], nb, region_tokens
+
+    def generate(
+        self,
+        messages: list[dict],
+        max_new_tokens: int = 512,
+        temperature: float = 0.0,
+        top_p: float = 1.0,
+        seed: int = 0,
+        max_pixels: int | None = None,
+    ) -> GenerationResult:
+        cfg = self.cfg
+        prep = self.prepare(messages, max_pixels=max_pixels)
+        vision_tokens, region_tokens, nb, region_padded = self.encode(prep)
+
+        info: SpliceInfo = prep["splice"]
+        s = info.seq_len
+        pad_len = pad_to_bucket(s, 128)
+        # bucket the scatter positions: extra rows target the scratch slot
+        n_real = len(info.region_positions)
+        reg_pos = np.full(nb, s, np.int32)
+        reg_pos[:n_real] = info.region_positions
+        embeds = _splice_embeds(
+            self.params["text"], jnp.asarray(info.input_ids),
+            vision_tokens, jnp.asarray(info.image_positions),
+            region_padded, jnp.asarray(reg_pos), pad_len=pad_len)
+
+        pos = np.zeros((3, 1, pad_len), np.int32)
+        pos[:, :, :s] = prep["position_ids"]
+        cache_len = pad_len + max_new_tokens
+        cache, first_logits = prefill(
+            self.params["text"], cfg.text, embeds, jnp.asarray(pos),
+            jnp.asarray([s]), cache_len=cache_len)
+
+        gen_cfg = GenerationConfig(
+            max_new_tokens=max_new_tokens, temperature=temperature,
+            top_p=top_p, eos_token_id=cfg.eos_token_id,
+            pad_token_id=cfg.pad_token_id)
+        tokens, steps = decode_loop(
+            self.params["text"], cfg.text, gen_cfg, cache, first_logits,
+            jnp.asarray([s]), jnp.asarray(prep["rope_deltas"][:, 0]),
+            jax.random.PRNGKey(seed))
+        tokens = np.asarray(tokens)[0]
+        steps = int(steps)
+        out = tokens[:steps]
+        if cfg.eos_token_id in out.tolist():
+            out = out[:out.tolist().index(cfg.eos_token_id)]
+        text = decode_to_text(self.tokenizer, tokens[:steps],
+                              cfg.eos_token_id) if self.tokenizer else ""
+        return GenerationResult(text=text, token_ids=out,
+                                prompt_len=s, num_steps=steps)

@@ -1,0 +1,213 @@
+"""Qwen2.5 decoder trunk with M-RoPE and GQA, TPU-native.
+
+Functional re-implementation of the vendored Qwen2.5-VL language model
+(reference modeling_qwen2_5_vl.py:566-1102): RMSNorm -> GQA attention with
+3-section multimodal rotary embeddings -> SwiGLU MLP, with a *static* KV
+cache ([L, B, C, Hkv, hd] preallocated, dynamic_update_slice per step) so the
+decode loop jits to a single fixed program — the TPU replacement for HF's
+dynamic Cache objects.
+
+Numerics parity: RMSNorm stats fp32 (reference :135-140), rotary tables fp32
+(:611-618), attention softmax fp32 (:784).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from vlm_fo1_tpu import nn
+from vlm_fo1_tpu.config import TextConfig
+
+
+def init_text_params(key, cfg: TextConfig, dtype=jnp.float32) -> dict:
+    keys = jax.random.split(key, cfg.num_hidden_layers + 2)
+    d = cfg.hidden_size
+    hd = cfg.head_dim
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        k = jax.random.split(keys[i], 7)
+        layers.append({
+            "input_layernorm": nn.rms_norm_init(d, dtype),
+            "post_attention_layernorm": nn.rms_norm_init(d, dtype),
+            "attn": {
+                "q_proj": nn.linear_init(k[0], d, cfg.num_attention_heads * hd,
+                                         bias=cfg.attention_bias, dtype=dtype),
+                "k_proj": nn.linear_init(k[1], d, cfg.num_key_value_heads * hd,
+                                         bias=cfg.attention_bias, dtype=dtype),
+                "v_proj": nn.linear_init(k[2], d, cfg.num_key_value_heads * hd,
+                                         bias=cfg.attention_bias, dtype=dtype),
+                "o_proj": nn.linear_init(k[3], cfg.num_attention_heads * hd, d,
+                                         bias=False, dtype=dtype),
+            },
+            "mlp": {
+                "gate_proj": nn.linear_init(k[4], d, cfg.intermediate_size,
+                                            bias=False, dtype=dtype),
+                "up_proj": nn.linear_init(k[5], d, cfg.intermediate_size,
+                                          bias=False, dtype=dtype),
+                "down_proj": nn.linear_init(k[6], cfg.intermediate_size, d,
+                                            bias=False, dtype=dtype),
+            },
+        })
+    params = {
+        "embed_tokens": nn.embedding_init(keys[-2], cfg.vocab_size, d, dtype),
+        "layers": layers,
+        "norm": nn.rms_norm_init(d, dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = nn.linear_init(keys[-1], d, cfg.vocab_size,
+                                           bias=False, dtype=dtype)
+    return params
+
+
+def mrope_cos_sin(position_ids: jnp.ndarray, cfg: TextConfig):
+    """3-section multimodal rotary tables.
+
+    position_ids: [3, B, S] int. Returns cos/sin [B, S, head_dim] fp32 with
+    the per-channel t/h/w interleave of the reference
+    apply_multimodal_rotary_pos_emb (modeling:643-685): channel blocks of the
+    half-dim are taken from the t, h, w position streams in mrope_section
+    order, then duplicated for the rotate-half layout.
+    """
+    hd = cfg.head_dim
+    inv_freq = 1.0 / (cfg.rope_theta ** (
+        jnp.arange(0, hd, 2, dtype=jnp.float32) / hd))  # [hd/2]
+    freqs = position_ids.astype(jnp.float32)[..., None] * inv_freq  # [3,B,S,hd/2]
+
+    sections = list(cfg.mrope_section)
+    assert sum(sections) == hd // 2, "mrope sections must cover half head_dim"
+    parts = []
+    start = 0
+    for i, sec in enumerate(sections):
+        parts.append(freqs[i % 3, :, :, start:start + sec])
+        start += sec
+    half = jnp.concatenate(parts, axis=-1)          # [B, S, hd/2]
+    emb = jnp.concatenate([half, half], axis=-1)    # [B, S, hd]
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def _rotate_half(x):
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def _apply_rope(x, cos, sin):
+    """x: [B, S, H, hd]; cos/sin: [B, S, hd] fp32."""
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    out = xf * cos[:, :, None, :] + _rotate_half(xf) * sin[:, :, None, :]
+    return out.astype(dt)
+
+
+def init_kv_cache(cfg: TextConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+    shape = (cfg.num_hidden_layers, batch, max_len,
+             cfg.num_key_value_heads, cfg.head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def _attention(p, cfg: TextConfig, x, cos, sin, mask, kv_cache, layer_idx,
+               cache_offset):
+    """GQA attention. x: [B, S, D]; mask: [B, 1, S, C] (C = cache length when
+    a cache is used, else S); kv cache updated in place at cache_offset."""
+    b, s, _ = x.shape
+    nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    q = nn.linear(p["q_proj"], x).reshape(b, s, nh, hd)
+    k = nn.linear(p["k_proj"], x).reshape(b, s, nkv, hd)
+    v = nn.linear(p["v_proj"], x).reshape(b, s, nkv, hd)
+    q = _apply_rope(q, cos, sin)
+    k = _apply_rope(k, cos, sin)
+
+    if kv_cache is not None:
+        # single dynamic_update_slice on the stacked [L, B, C, Hkv, hd]
+        # buffer: with donated cache args XLA performs this in place
+        kfull = jax.lax.dynamic_update_slice(
+            kv_cache["k"], k.astype(kv_cache["k"].dtype)[None],
+            (layer_idx, 0, cache_offset, 0, 0))
+        vfull = jax.lax.dynamic_update_slice(
+            kv_cache["v"], v.astype(kv_cache["v"].dtype)[None],
+            (layer_idx, 0, cache_offset, 0, 0))
+        new_cache = {"k": kfull, "v": vfull}
+        k_all = kfull[layer_idx].astype(x.dtype)
+        v_all = vfull[layer_idx].astype(x.dtype)
+    else:
+        new_cache = None
+        k_all, v_all = k, v
+
+    # GQA: fold the group dim into the query heads
+    groups = nh // nkv
+    qg = q.reshape(b, s, nkv, groups, hd)
+    logits = jnp.einsum("bsngh,bcnh->bngsc", qg, k_all,
+                        preferred_element_type=jnp.float32)
+    logits = logits * (1.0 / jnp.sqrt(jnp.float32(hd)))
+    logits = jnp.where(mask[:, :, None], logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+    out = jnp.einsum("bngsc,bcnh->bsngh", probs, v_all)
+    out = out.reshape(b, s, nh * hd)
+    return nn.linear(p["o_proj"], out), new_cache
+
+
+def text_forward(
+    params: dict,
+    cfg: TextConfig,
+    hidden: jnp.ndarray,          # [B, S, D] input embeddings
+    cos: jnp.ndarray,             # [B, S, hd] fp32
+    sin: jnp.ndarray,
+    mask: jnp.ndarray,            # [B, 1, S, C] bool, True = attend
+    kv_cache: dict | None = None,
+    cache_offset=0,
+):
+    """Run the decoder trunk. Returns (hidden [B,S,D], updated kv_cache)."""
+    act = nn.ACT[cfg.hidden_act]
+    x = hidden
+    cache = kv_cache
+    for i, layer in enumerate(params["layers"]):
+        attn_out, cache_upd = _attention(
+            layer["attn"], cfg, nn.rms_norm(layer["input_layernorm"], x,
+                                            eps=cfg.rms_norm_eps),
+            cos, sin, mask, cache, i, cache_offset)
+        if cache_upd is not None:
+            cache = cache_upd
+        x = x + attn_out
+        h = nn.rms_norm(layer["post_attention_layernorm"], x,
+                        eps=cfg.rms_norm_eps)
+        x = x + nn.linear(layer["mlp"]["down_proj"],
+                          act(nn.linear(layer["mlp"]["gate_proj"], h))
+                          * nn.linear(layer["mlp"]["up_proj"], h))
+    x = nn.rms_norm(params["norm"], x, eps=cfg.rms_norm_eps)
+    return x, cache
+
+
+def lm_head_logits(params: dict, cfg: TextConfig, hidden: jnp.ndarray):
+    """[B, S, D] -> [B, S, V] fp32 logits (tied or untied head)."""
+    if cfg.tie_word_embeddings or "lm_head" not in params:
+        w = params["embed_tokens"]["w"]
+        return jnp.einsum("bsd,vd->bsv", hidden, w,
+                          preferred_element_type=jnp.float32)
+    return jnp.einsum("bsd,dv->bsv", hidden, params["lm_head"]["w"],
+                      preferred_element_type=jnp.float32)
+
+
+def embed_tokens(params: dict, ids: jnp.ndarray):
+    return nn.embedding(params["embed_tokens"], ids)
+
+
+def splice_multimodal_embeds(
+    params: dict,
+    input_ids: jnp.ndarray,        # [S] expanded ids (region slots negative)
+    image_features: jnp.ndarray | None,   # [n_img_tokens, D]
+    image_positions: jnp.ndarray | None,  # [n_img_tokens]
+    region_features: jnp.ndarray | None,  # [n_regions, D]
+    region_positions: jnp.ndarray | None,
+) -> jnp.ndarray:
+    """Text embedding + feature scatter (the reference's python splice loop,
+    omchat_qwen2_5_vl.py:236-373, reduced to two XLA scatters)."""
+    embeds = embed_tokens(params, jnp.maximum(input_ids, 0))
+    if image_features is not None and image_positions is not None:
+        embeds = embeds.at[image_positions].set(
+            image_features.astype(embeds.dtype))
+    if region_features is not None and region_positions is not None:
+        embeds = embeds.at[region_positions].set(
+            region_features.astype(embeds.dtype))
+    return embeds

@@ -107,7 +107,9 @@ def embedding_init(key, vocab, dim, dtype=jnp.float32, std=0.02):
 
 
 def embedding(p, ids):
-    return jnp.take(p["w"], ids, axis=0)
+    # mode="clip": out-of-vocab ids clamp to the last row instead of jnp.take's
+    # default NaN fill — keeps sentinel/oversized ids from poisoning the stream
+    return jnp.take(p["w"], ids, axis=0, mode="clip")
 
 
 # ------------------------------------------------------------- activations

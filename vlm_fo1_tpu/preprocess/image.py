@@ -68,10 +68,13 @@ def resize_shortest_edge_images_and_bboxes(
     Accepts either one bbox list (single image) or a list of per-image lists,
     mirroring the reference's shape normalisation (mm_utils.py:396-399).
     """
-    single = bool(bbox_lists) and np.asarray(bbox_lists[0]).ndim == 1
+    if bbox_lists is None:
+        bbox_lists = [[] for _ in images]
+    single = (bool(bbox_lists) and len(bbox_lists[0]) > 0
+              and np.asarray(bbox_lists[0]).ndim == 1)
     if single:
         bbox_lists = [bbox_lists]
-    if bbox_lists is None:
+    if len(bbox_lists) == 1 and len(bbox_lists[0]) == 0 and len(images) > 1:
         bbox_lists = [[] for _ in images]
     if len(images) != len(bbox_lists):
         raise ValueError("images and bbox lists must have the same length")

@@ -1,0 +1,158 @@
+"""Jitted generation loop: bucketed prefill + static-cache decode.
+
+TPU replacement for HF GenerationMixin (reference omchat_qwen2_5_vl.py:535-572
+threads multimodal kwargs through HF generate; KeywordsStoppingCriteria stops
+on <|im_end|>, mm_utils.py:137-181): here prefill and the whole decode loop
+are two jitted programs with static shapes. Prefill lengths are bucketed
+(pad-to-multiple) so repeated calls reuse compiled code; the decode loop is a
+lax.while_loop with an all-rows-done early exit and greedy / temperature +
+top-p sampling.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from vlm_fo1_tpu.config import TextConfig
+from vlm_fo1_tpu.models import llm
+
+
+@dataclass(frozen=True)
+class GenerationConfig:
+    max_new_tokens: int = 512
+    temperature: float = 0.0
+    top_p: float = 1.0
+    eos_token_id: int = 151645  # <|im_end|>
+    pad_token_id: int = 151643
+
+
+def pad_to_bucket(n: int, multiple: int = 128) -> int:
+    return max(multiple, -(-n // multiple) * multiple)
+
+
+@partial(jax.jit, static_argnames=("cfg", "cache_len"))
+def prefill(
+    params: dict,
+    cfg: TextConfig,
+    embeds: jnp.ndarray,        # [B, Sp, D] padded prefill embeddings
+    position_ids: jnp.ndarray,  # [3, B, Sp]
+    seq_lens: jnp.ndarray,      # [B] actual lengths
+    cache_len: int,
+):
+    """Run the prompt through the trunk, filling a fresh KV cache.
+
+    Returns (kv_cache, last_logits [B, V] fp32).
+    """
+    b, sp, _ = embeds.shape
+    cache = llm.init_kv_cache(cfg, b, cache_len, dtype=embeds.dtype)
+    cos, sin = llm.mrope_cos_sin(position_ids, cfg)
+
+    q_pos = jnp.arange(sp)[None, :, None]          # [1, Sp, 1]
+    k_pos = jnp.arange(cache_len)[None, None, :]   # [1, 1, C]
+    causal = k_pos <= q_pos
+    in_prompt = k_pos < seq_lens[:, None, None]
+    mask = (causal & in_prompt)[:, None]           # [B, 1, Sp, C]
+
+    hidden, cache = llm.text_forward(params, cfg, embeds, cos, sin, mask,
+                                     kv_cache=cache, cache_offset=0)
+    last = jnp.take_along_axis(
+        hidden, (seq_lens - 1)[:, None, None].astype(jnp.int32), axis=1)
+    logits = llm.lm_head_logits(params, cfg, last)[:, 0]
+    return cache, logits
+
+
+def _sample(logits, temperature, top_p, key):
+    """Greedy for temperature==0 (static), else top-p nucleus sampling."""
+    if temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / jnp.float32(temperature)
+    if top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1) - probs
+        cutoff_mask = cum > top_p
+        kth = jnp.sum(~cutoff_mask, axis=-1, keepdims=True) - 1
+        threshold = jnp.take_along_axis(sorted_logits, kth, axis=-1)
+        logits = jnp.where(logits < threshold, -jnp.inf, logits)
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("cfg", "gen_cfg"),
+         donate_argnames=("kv_cache",))
+def decode_loop(
+    params: dict,
+    cfg: TextConfig,
+    gen_cfg: GenerationConfig,
+    kv_cache: dict,
+    first_logits: jnp.ndarray,  # [B, V] from prefill
+    seq_lens: jnp.ndarray,      # [B] prompt lengths (cache write offsets)
+    rope_deltas: jnp.ndarray,   # [B] (max position + 1 - prompt len)
+    rng: jnp.ndarray,
+):
+    """Autoregressive decode with early exit when every row hit EOS.
+
+    Returns (tokens [B, max_new] int32 — padded with pad_token_id after EOS,
+    num_steps int32).
+    """
+    b = first_logits.shape[0]
+    cache_len = kv_cache["k"].shape[2]
+    max_new = gen_cfg.max_new_tokens
+    d_model = params["embed_tokens"]["w"].shape[1]
+
+    def body(state):
+        cache, tokens, cur, step, done, key = state
+        key, sub = jax.random.split(key)
+        # embed current token, rope position = prompt_pos + delta + step
+        emb = llm.embed_tokens(params, cur[:, None])  # [B, 1, D]
+        # `cur` was generated at loop step-1 -> sequence position
+        # seq_len + step - 1; its rope position adds the mrope delta
+        pos = (seq_lens + rope_deltas + step - 1)[None, :, None]  # [1, B, 1]
+        pos = jnp.broadcast_to(pos, (3, b, 1))
+        cos, sin = llm.mrope_cos_sin(pos, cfg)
+        write_at = seq_lens[0] + step - 1  # uniform-offset batches (B=1 serving)
+        k_pos = jnp.arange(cache_len)[None, None, None, :]
+        mask = k_pos <= write_at
+        mask = jnp.broadcast_to(mask, (b, 1, 1, cache_len))
+        hidden, cache = llm.text_forward(params, cfg, emb, cos, sin, mask,
+                                         kv_cache=cache,
+                                         cache_offset=write_at)
+        logits = llm.lm_head_logits(params, cfg, hidden)[:, 0]
+        nxt = _sample(logits, gen_cfg.temperature, gen_cfg.top_p, sub)
+        nxt = jnp.where(done, gen_cfg.pad_token_id, nxt)
+        tokens = tokens.at[:, step].set(nxt)
+        done = done | (nxt == gen_cfg.eos_token_id)
+        return cache, tokens, nxt, step + 1, done, key
+
+    def cond(state):
+        _, _, _, step, done, _ = state
+        return (step < max_new) & ~jnp.all(done)
+
+    # the first generated token comes from the prefill logits
+    key, sub = jax.random.split(rng)
+    tok0 = _sample(first_logits, gen_cfg.temperature, gen_cfg.top_p, sub)
+    tokens = jnp.full((b, max_new), gen_cfg.pad_token_id, jnp.int32)
+    tokens = tokens.at[:, 0].set(tok0)
+    done0 = tok0 == gen_cfg.eos_token_id
+
+    state = (kv_cache, tokens, tok0, jnp.int32(1), done0, key)
+    state = jax.lax.while_loop(cond, body, state)
+    _, tokens, _, step, _, _ = state
+    return tokens, step
+
+
+def decode_to_text(tokenizer, token_row, eos_token_id=151645,
+                   stop_strings=("<|im_end|>",)):
+    """Host-side: trim at EOS and decode; string-level stop fallback mirrors
+    KeywordsStoppingCriteria's substring check (mm_utils.py:158-172)."""
+    toks = list(int(t) for t in token_row)
+    if eos_token_id in toks:
+        toks = toks[:toks.index(eos_token_id)]
+    text = tokenizer.decode(toks, skip_special_tokens=False)
+    for s in stop_strings:
+        if s in text:
+            text = text.split(s)[0]
+    return text.strip()
