@@ -1,0 +1,131 @@
+"""End-to-end throughput benchmark: the driver's headline metric.
+
+Measures images/sec/chip for the full grounded-perception pipeline on the
+reference demo workload (demo image + 7 boxes + OD prompt,
+/root/reference/inference.py:16): host preprocess -> ViT + DaViT + HFRE
+encode -> multimodal prefill -> fixed-length greedy decode.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+The reference publishes no throughput numbers (BASELINE.md), so vs_baseline
+is null until a measured A100 reference exists.
+
+Env knobs: BENCH_PRESET=3b|tiny, BENCH_DECODE_TOKENS, BENCH_ITERS,
+BENCH_MAX_PIXELS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+class _BenchTokenizer:
+    """Minimal ChatML-aware tokenizer (the released Qwen tokenizer files are
+    not on this machine; token *ids* don't affect throughput)."""
+
+    SPECIALS = {"<|im_start|>": 151644, "<|im_end|>": 151645,
+                "<|vision_start|>": 151652, "<|vision_end|>": 151653,
+                "<|image_pad|>": 151655}
+
+    def encode(self, text):
+        import re
+
+        pattern = "(" + "|".join(re.escape(s) for s in self.SPECIALS) + ")"
+        ids = []
+        for part in re.split(pattern, text):
+            if part in self.SPECIALS:
+                ids.append(self.SPECIALS[part])
+            else:
+                ids.extend(min(ord(c), 150000) for c in part)
+        return ids
+
+    def __call__(self, text):
+        class _O:
+            def __init__(s, i):
+                s.input_ids = i
+
+        return _O(self.encode(text))
+
+    def decode(self, ids, **kw):
+        return "".join(chr(i) if i < 0x110000 else "?" for i in ids)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from vlm_fo1_tpu.config import FO1Config
+    from vlm_fo1_tpu.models.fo1 import FO1Model
+    from vlm_fo1_tpu.task_templates import OD_template
+
+    preset = os.environ.get("BENCH_PRESET", "3b")
+    decode_tokens = int(os.environ.get("BENCH_DECODE_TOKENS", "32"))
+    iters = int(os.environ.get("BENCH_ITERS", "5"))
+    max_pixels = int(os.environ.get("BENCH_MAX_PIXELS", str(1024 * 1024)))
+
+    cfg = FO1Config.tiny() if preset == "tiny" else FO1Config()
+    dtype = jnp.bfloat16
+    model = FO1Model.random_init(cfg, seed=0, dtype=dtype,
+                                 tokenizer=_BenchTokenizer())
+
+    img_path = "/root/reference/demo/demo_image.jpg"
+    if not os.path.exists(img_path):
+        from PIL import Image
+
+        img_path = Image.fromarray(
+            np.random.default_rng(0).integers(
+                0, 255, size=(399, 500, 3), dtype=np.uint8))
+    bbox_list = [[161.0, 11.0, 292.0, 127.0], [268.0, 61.0, 428.0, 226.0],
+                 [12.0, 100.0, 140.0, 227.0], [205.0, 188.0, 332.0, 320.0],
+                 [326.0, 202.0, 478.0, 357.0], [136.0, 106.0, 269.0, 233.0],
+                 [25.0, 206.0, 200.0, 383.0]]
+    messages = [{
+        "role": "user",
+        "content": [
+            {"type": "image_url", "image_url": {"url": img_path}},
+            {"type": "text", "text": OD_template.format("orange")},
+        ],
+        "bbox_list": bbox_list,
+    }]
+
+    def run_once():
+        # eos < 0 never fires -> exactly decode_tokens steps every iteration
+        r = model.generate(messages, max_new_tokens=decode_tokens,
+                           max_pixels=max_pixels, eos_token_id=-1)
+        return r
+
+    # warmup / compile
+    t0 = time.time()
+    r = run_once()
+    compile_s = time.time() - t0
+
+    lat = []
+    for _ in range(iters):
+        t0 = time.time()
+        r = run_once()
+        lat.append(time.time() - t0)
+    lat = np.array(lat)
+    p50 = float(np.percentile(lat, 50))
+    ips = 1.0 / float(lat.mean())
+
+    print(json.dumps({
+        "metric": "images_per_sec_per_chip",
+        "value": round(ips, 4),
+        "unit": "img/s",
+        "vs_baseline": None,
+        "p50_latency_s": round(p50, 4),
+        "decode_tokens": decode_tokens,
+        "prompt_len": int(r.prompt_len),
+        "preset": preset,
+        "compile_s": round(compile_s, 1),
+        "backend": jax.default_backend(),
+        "note": "end-to-end encode+ROI+prefill+decode on demo workload; "
+                "reference publishes no throughput baseline",
+    }))
+
+
+if __name__ == "__main__":
+    main()

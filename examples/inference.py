@@ -1,0 +1,60 @@
+"""Demo: box-conditioned object detection with FO1 on TPU.
+
+TPU-native equivalent of the reference demo (/root/reference/inference.py):
+7 provided boxes + an OD prompt -> grounded `<region>` answer -> drawn boxes.
+"""
+
+import argparse
+
+from PIL import Image
+
+from vlm_fo1_tpu.api import load_pretrained_model, prepare_inputs
+from vlm_fo1_tpu.postprocess import (
+    draw_bboxes_and_save,
+    extract_predictions_to_bboxes,
+)
+from vlm_fo1_tpu.task_templates import OD_template
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model-path", required=True,
+                    help="checkpoint dir (config.json + safetensors)")
+    ap.add_argument("--image", default="/root/reference/demo/demo_image.jpg")
+    ap.add_argument("--target", default="orange")
+    ap.add_argument("--output", default="fo1_result.jpg")
+    args = ap.parse_args()
+
+    bbox_list = [
+        [161.0, 11.0, 292.0, 127.0], [268.0, 61.0, 428.0, 226.0],
+        [12.0, 100.0, 140.0, 227.0], [205.0, 188.0, 332.0, 320.0],
+        [326.0, 202.0, 478.0, 357.0], [136.0, 106.0, 269.0, 233.0],
+        [25.0, 206.0, 200.0, 383.0],
+    ]
+    messages = [{
+        "role": "user",
+        "content": [
+            {"type": "image_url", "image_url": {"url": args.image}},
+            {"type": "text", "text": OD_template.format(args.target)},
+        ],
+        "bbox_list": bbox_list,
+    }]
+
+    tokenizer, model, image_processors = load_pretrained_model(args.model_path)
+    kwargs = prepare_inputs(args.model_path, model, image_processors,
+                            tokenizer, messages, max_tokens=4096,
+                            top_p=0.05, temperature=0.0)
+    output_ids = model.generate(**kwargs)
+    outputs = tokenizer.decode(
+        output_ids[0, kwargs["inputs"].shape[1]:]).strip()
+    print("model output:", outputs)
+
+    bboxes = extract_predictions_to_bboxes(outputs, bbox_list)
+    img = Image.open(args.image).convert("RGB")
+    draw_bboxes_and_save(image=img, fo1_bboxes=bboxes,
+                         output_path=args.output)
+    print("saved:", args.output)
+
+
+if __name__ == "__main__":
+    main()

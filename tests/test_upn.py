@@ -1,0 +1,127 @@
+"""UPN subsystem tests: Swin shapes/properties, NMS parity, end-to-end
+proposal generation on a tiny config."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from vlm_fo1_tpu.ops.nms import nms_jax, nms_numpy
+from vlm_fo1_tpu.upn.model import (
+    UPNConfig,
+    gen_anchor_proposals,
+    init_upn_params,
+    inverse_sigmoid,
+    sine_position_embedding,
+    upn_forward,
+)
+from vlm_fo1_tpu.upn.swin import SwinConfig, init_swin_params, swin_forward
+from vlm_fo1_tpu.upn.wrapper import UPNWrapper
+
+TINY_SWIN = SwinConfig(embed_dim=16, depths=(1, 1, 2, 1),
+                       num_heads=(1, 2, 4, 8), window_size=4)
+TINY_UPN = UPNConfig(d_model=32, n_heads=4, n_points=2,
+                     num_encoder_layers=2, num_decoder_layers=2,
+                     d_ffn=64, num_queries=20, gn_groups=8, pos_feats=16)
+
+
+def test_swin_shapes(rng):
+    params = init_swin_params(jax.random.PRNGKey(0), TINY_SWIN)
+    x = jnp.asarray(rng.standard_normal((1, 64, 96, 3)).astype(np.float32))
+    outs = swin_forward(params, TINY_SWIN, x)
+    assert [tuple(o.shape) for o in outs] == [
+        (1, 16, 24, 16), (1, 8, 12, 32), (1, 4, 6, 64), (1, 2, 3, 128)]
+    for o in outs:
+        assert np.isfinite(np.asarray(o)).all()
+
+
+def test_swin_shift_mask_locality(rng):
+    """Swin blocks must produce different outputs for shifted vs non-shifted
+    windows but remain finite and shape-stable with non-multiple sizes."""
+    params = init_swin_params(jax.random.PRNGKey(0), TINY_SWIN)
+    x = jnp.asarray(rng.standard_normal((1, 52, 68, 3)).astype(np.float32))
+    outs = swin_forward(params, TINY_SWIN, x)
+    assert outs[0].shape == (1, 13, 17, 16)
+    assert np.isfinite(np.asarray(outs[-1])).all()
+
+
+def test_nms_matches_torchvision_semantics(rng):
+    boxes = rng.uniform(0, 100, size=(50, 2)).astype(np.float32)
+    wh = rng.uniform(5, 40, size=(50, 2)).astype(np.float32)
+    boxes = np.concatenate([boxes, boxes + wh], axis=1)
+    scores = rng.uniform(0, 1, size=50).astype(np.float32)
+    keep = nms_numpy(boxes, scores, 0.5)
+    # kept boxes must be mutually below the IoU threshold
+    def iou(a, b):
+        x1, y1 = np.maximum(a[:2], b[:2])
+        x2, y2 = np.minimum(a[2:], b[2:])
+        inter = max(x2 - x1, 0) * max(y2 - y1, 0)
+        area = lambda z: (z[2] - z[0]) * (z[3] - z[1])
+        return inter / (area(a) + area(b) - inter)
+    for i, a in enumerate(keep):
+        for b in keep[i + 1:]:
+            assert iou(boxes[a], boxes[b]) <= 0.5 + 1e-6
+    # jax variant agrees
+    mask = np.asarray(nms_jax(jnp.asarray(boxes), jnp.asarray(scores), 0.5))
+    np.testing.assert_array_equal(np.sort(np.nonzero(mask)[0]), np.sort(keep))
+
+
+def test_anchor_proposals_cover_grid():
+    vr = jnp.ones((1, 2, 2))
+    props = np.asarray(gen_anchor_proposals(((4, 4), (2, 2)), vr))
+    assert props.shape == (1, 20, 4)
+    np.testing.assert_allclose(props[0, 0], [0.125, 0.125, 0.05, 0.05])
+    np.testing.assert_allclose(props[0, 16], [0.25, 0.25, 0.1, 0.1])
+
+
+def test_inverse_sigmoid_roundtrip():
+    x = jnp.asarray([0.1, 0.5, 0.9])
+    np.testing.assert_allclose(
+        np.asarray(jax.nn.sigmoid(inverse_sigmoid(x))), np.asarray(x),
+        atol=1e-6)
+
+
+def test_sine_position_embedding_valid_region():
+    emb = np.asarray(sine_position_embedding(8, 8, 4, 4, num_pos_feats=8))
+    assert emb.shape == (8, 8, 16)
+    # padding region embeds are driven by zeroed coords
+    assert np.isfinite(emb).all()
+
+
+def test_upn_end_to_end_proposals(rng):
+    upn = UPNWrapper.random_init(cfg=TINY_UPN, swin_cfg=TINY_SWIN)
+    img = Image.fromarray(rng.integers(0, 255, (96, 128, 3), dtype=np.uint8))
+    # shrink transform for test speed
+    arr, (nh, nw) = upn.transform_image(img, short_side=64, max_size=96)
+    padded = upn._pad_to_bucket(arr)
+    from vlm_fo1_tpu.upn.wrapper import _jit_forward
+
+    out = _jit_forward(upn.params, upn.cfg, upn.swin_cfg,
+                       jnp.asarray(padded[None]),
+                       jnp.asarray([[nh, nw]], np.int32),
+                       "fine_grained_prompt")
+    boxes = np.asarray(out["pred_boxes"])
+    logits = np.asarray(out["pred_logits"])
+    assert boxes.shape == (1, TINY_UPN.num_queries, 4)
+    assert logits.shape == (1, TINY_UPN.num_queries, 1)
+    assert np.isfinite(boxes).all() and np.isfinite(logits).all()
+    assert (boxes >= 0).all() and (boxes <= 1).all()
+
+
+def test_upn_wrapper_inference_and_filter(rng):
+    upn = UPNWrapper.random_init(cfg=TINY_UPN, swin_cfg=TINY_SWIN)
+    # monkeypatch transform for speed
+    orig = upn.transform_image
+    upn.transform_image = lambda img: orig(img, short_side=64, max_size=96)
+    img = Image.fromarray(rng.integers(0, 255, (96, 128, 3), dtype=np.uint8))
+    raw = upn.inference(img)
+    assert raw["original_xyxy_boxes"].shape == (1, TINY_UPN.num_queries, 4)
+    s = raw["scores"][0, :, 0]
+    assert (np.diff(s) <= 1e-6).all()  # score-sorted
+    det = upn.filter(raw, min_score=0.0, nms_value=0.8)
+    assert len(det["original_xyxy_boxes"]) == 1
+    assert len(det["original_xyxy_boxes"][0]) >= 1
+    det2 = upn.filter(raw, min_score=2.0)  # nothing survives
+    assert det2["original_xyxy_boxes"] == []

@@ -1,0 +1,119 @@
+"""Evaluation runners: CountBench / Pixmo-Count accuracy and COCO detection
+predictions (reference evaluation/eval_countbench.py, eval_coco.py).
+
+Both consume the frozen `*_with_upn_score_0.3_0.8` files (precomputed UPN
+proposals + scores) so FO1 quality is measured independently of the proposal
+stage. The COCO runner emits standard COCO-format prediction JSON with the
+UPN proposal score as detection confidence (reference eval_coco.py:72-85);
+mAP is computed externally with pycocotools.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+from vlm_fo1_tpu.postprocess import extract_predictions_to_indexes
+
+
+def _build_messages(image_path, question, bbox_list):
+    return [{
+        "role": "user",
+        "content": [
+            {"type": "image_url", "image_url": {"url": image_path}},
+            {"type": "text", "text": question},
+        ],
+        "bbox_list": bbox_list,
+    }]
+
+
+def extract_count(outputs: str) -> int:
+    """First integer after stripping <regionN> tags; 0 if none
+    (reference eval_countbench.py:48-53)."""
+    ans = re.sub(r"<region\d+>", "", outputs)
+    numbers = re.findall(r"(?<!region)\d+", ans)
+    return int(numbers[0]) if numbers else 0
+
+
+def eval_countbench(model, data_path: str, image_path: str,
+                    max_items: int | None = None, max_new_tokens: int = 4096,
+                    verbose: bool = True) -> dict:
+    """Exact-match counting accuracy. Returns summary dict with per-item
+    predictions."""
+    with open(data_path) as f:
+        data = json.load(f)
+    if max_items:
+        data = data[:max_items]
+
+    preds, gts, latencies = [], [], []
+    for item in data:
+        msgs = _build_messages(os.path.join(image_path, item["image"]),
+                               item["question"], item["bboxes"])
+        t0 = time.time()
+        result = model.generate(msgs, max_new_tokens=max_new_tokens,
+                                top_p=0.05, temperature=0.0)
+        latencies.append(time.time() - t0)
+        pred = extract_count(result.text)
+        preds.append(pred)
+        gts.append(item["answer"])
+        if verbose and pred != item["answer"]:
+            print(f"gt={item['answer']} pred_text={result.text[:120]!r}")
+
+    correct = sum(1 for p, g in zip(preds, gts) if p == g)
+    acc = correct / len(preds) if preds else 0.0
+    return {"accuracy": acc, "correct": correct, "total": len(preds),
+            "predictions": preds, "ground_truth": gts,
+            "mean_latency_s": sum(latencies) / max(len(latencies), 1)}
+
+
+def eval_coco(model, eval_data_path: str, original_data_path: str,
+              img_folder: str, out_path: str,
+              max_items: int | None = None,
+              max_new_tokens: int = 4096) -> list[dict]:
+    """Per-image generation with precomputed UPN proposals -> COCO-format
+    detection records (confidence = proposal score)."""
+    data_list = []
+    with open(eval_data_path) as f:
+        for line in f:
+            data_list.append(json.loads(line))
+    if max_items:
+        data_list = data_list[:max_items]
+
+    with open(original_data_path) as f:
+        original = json.load(f)
+    cat_to_id = {c["name"]: c["id"] for c in original["categories"]}
+
+    res_list = []
+    for data in data_list:
+        image_id = data["id"]
+        bbox_list = data["bbox_list"]
+        score_list = data["score_list"]
+        query = data["conversations"][0]["value"]
+        msgs = _build_messages(os.path.join(img_folder, data["image"]),
+                               query, bbox_list)
+        try:
+            result = model.generate(msgs, max_new_tokens=max_new_tokens,
+                                    top_p=0.05, temperature=0.0)
+        except Exception as e:  # keep the sweep alive (reference :60-65)
+            print(f"error on {image_id}: {e}")
+            continue
+        for label, idxs in extract_predictions_to_indexes(result.text).items():
+            if label not in cat_to_id:
+                continue
+            for i in idxs:
+                if not 0 <= i < len(bbox_list):
+                    continue
+                x1, y1, x2, y2 = bbox_list[i]
+                res_list.append({
+                    "image_id": image_id,
+                    "category_id": cat_to_id[label],
+                    "bbox": [x1, y1, x2 - x1, y2 - y1],
+                    "score": score_list[i],
+                })
+
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(res_list, f)
+    return res_list

@@ -246,6 +246,7 @@ class FO1Model:
         top_p: float = 1.0,
         seed: int = 0,
         max_pixels: int | None = None,
+        eos_token_id: int | None = None,
     ) -> GenerationResult:
         cfg = self.cfg
         prep = self.prepare(messages, max_pixels=max_pixels)
@@ -270,9 +271,10 @@ class FO1Model:
             self.params["text"], cfg.text, embeds, jnp.asarray(pos),
             jnp.asarray([s]), cache_len=cache_len)
 
+        eos = cfg.eos_token_id if eos_token_id is None else eos_token_id
         gen_cfg = GenerationConfig(
             max_new_tokens=max_new_tokens, temperature=temperature,
-            top_p=top_p, eos_token_id=cfg.eos_token_id,
+            top_p=top_p, eos_token_id=eos,
             pad_token_id=cfg.pad_token_id)
         tokens, steps = decode_loop(
             self.params["text"], cfg.text, gen_cfg, cache, first_logits,
@@ -281,9 +283,9 @@ class FO1Model:
         tokens = np.asarray(tokens)[0]
         steps = int(steps)
         out = tokens[:steps]
-        if cfg.eos_token_id in out.tolist():
-            out = out[:out.tolist().index(cfg.eos_token_id)]
+        if eos in out.tolist():
+            out = out[:out.tolist().index(eos)]
         text = decode_to_text(self.tokenizer, tokens[:steps],
-                              cfg.eos_token_id) if self.tokenizer else ""
+                              eos) if self.tokenizer else ""
         return GenerationResult(text=text, token_ids=out,
                                 prompt_len=s, num_steps=steps)

@@ -72,6 +72,22 @@ def layer_norm(p, x, eps=1e-5):
     return (xf.astype(dt) * p["scale"] + p["bias"]).astype(dt)
 
 
+def group_norm_init(dim, dtype=jnp.float32):
+    return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+
+
+def group_norm(p, x, groups: int, eps=1e-5):
+    """Channel-last GroupNorm over [..., H, W, C]."""
+    dt = x.dtype
+    *lead, h, w, c = x.shape
+    xf = x.astype(jnp.float32).reshape(*lead, h * w, groups, c // groups)
+    mean = xf.mean(axis=(-3, -1), keepdims=True)
+    var = xf.var(axis=(-3, -1), keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xf = xf.reshape(*lead, h, w, c)
+    return (xf.astype(dt) * p["scale"] + p["bias"]).astype(dt)
+
+
 # ------------------------------------------------------------------ convs
 
 def conv2d_init(key, in_ch, out_ch, kernel_size, bias=True, groups=1,

@@ -1,0 +1,148 @@
+"""Multi-scale deformable attention (MSDA), TPU-native.
+
+Replaces the reference's 1.5k-line CUDA extension
+(detect_tools/upn/ops/src/cuda/ms_deform_im2col_cuda.cuh) with a vectorized
+gather/bilinear formulation whose semantics exactly match the reference's
+pure-torch oracle `ms_deform_attn_core_pytorch`
+(ops/functions/ms_deform_attn_func.py:41-61): sampling locations are
+normalized [0,1] over each (padded) level, converted to grid_sample
+align_corners=False coordinates, bilinear-sampled with zero padding, and
+reduced with softmaxed attention weights.
+
+Layout: one flattened gather per level over [B, H*W, M, D] values — the
+4 bilinear corners become 4 row-gathers; weighting and the (levels x points)
+reduction run on the VPU. Gradients come free via JAX autodiff (replacing the
+6 hand-written CUDA col2im kernels). The level loop is static (5 levels).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def ms_deform_attn_core(
+    value: jnp.ndarray,              # [B, S, M, D] (S = sum of level H*W)
+    spatial_shapes: tuple[tuple[int, int], ...],  # static ((H0,W0),...)
+    sampling_locations: jnp.ndarray,  # [B, Lq, M, L, P, 2] in [0, 1]
+    attention_weights: jnp.ndarray,   # [B, Lq, M, L, P] (softmaxed)
+) -> jnp.ndarray:
+    """Returns [B, Lq, M*D]."""
+    b, s, m, d = value.shape
+    _, lq, _, nlvl, npts, _ = sampling_locations.shape
+    assert nlvl == len(spatial_shapes)
+
+    out = jnp.zeros((b, lq, m, d), jnp.float32)
+    start = 0
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        val = value[:, start:start + h * w].astype(jnp.float32)  # [B,HW,M,D]
+        start += h * w
+        loc = sampling_locations[:, :, :, lvl].astype(jnp.float32)  # [B,Lq,M,P,2]
+        # grid_sample(align_corners=False): pixel x = loc*W - 0.5
+        x = loc[..., 0] * w - 0.5
+        y = loc[..., 1] * h - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        lx = x - x0
+        ly = y - y0
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+
+        def corner(yi, xi, wgt):
+            inb = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+            yc = jnp.clip(yi, 0, h - 1)
+            xc = jnp.clip(xi, 0, w - 1)
+            idx = yc * w + xc  # [B, Lq, M, P]
+            # gather per (batch, head): take_along_axis over the HW axis
+            idx_flat = idx.transpose(0, 2, 1, 3).reshape(b, m, lq * npts)
+            v = jnp.take_along_axis(
+                val.transpose(0, 2, 1, 3),            # [B, M, HW, D]
+                idx_flat[..., None], axis=2)          # [B, M, Lq*P, D]
+            v = v.reshape(b, m, lq, npts, d).transpose(0, 2, 1, 3, 4)
+            wz = jnp.where(inb, wgt, 0.0)
+            return v * wz[..., None]
+
+        sampled = (corner(y0i, x0i, (1 - ly) * (1 - lx))
+                   + corner(y0i, x0i + 1, (1 - ly) * lx)
+                   + corner(y0i + 1, x0i, ly * (1 - lx))
+                   + corner(y0i + 1, x0i + 1, ly * lx))  # [B,Lq,M,P,D]
+        aw = attention_weights[:, :, :, lvl].astype(jnp.float32)  # [B,Lq,M,P]
+        out = out + jnp.einsum("blmpd,blmp->blmd", sampled, aw)
+    return out.reshape(b, lq, m * d)
+
+
+def msda_layer_init(key, d_model: int, n_levels: int, n_heads: int,
+                    n_points: int, dtype=jnp.float32) -> dict:
+    """Parameters for a full MSDeformAttn layer (projections + offset heads),
+    with the reference's compass-direction offset-bias init
+    (ops/modules/ms_deform_attn.py:77-97)."""
+    import numpy as np
+
+    from vlm_fo1_tpu import nn
+
+    k = jax.random.split(key, 4)
+    thetas = np.arange(n_heads, dtype=np.float64) * (2 * np.pi / n_heads)
+    grid = np.stack([np.cos(thetas), np.sin(thetas)], -1)
+    grid = grid / np.abs(grid).max(-1, keepdims=True)
+    grid = np.tile(grid[:, None, None, :], (1, n_levels, n_points, 1))
+    for i in range(n_points):
+        grid[:, :, i, :] *= i + 1
+
+    p = {
+        "sampling_offsets": {
+            "w": jnp.zeros((d_model, n_heads * n_levels * n_points * 2), dtype),
+            "b": jnp.asarray(grid.reshape(-1), dtype),
+        },
+        "attention_weights": {
+            "w": jnp.zeros((d_model, n_heads * n_levels * n_points), dtype),
+            "b": jnp.zeros((n_heads * n_levels * n_points,), dtype),
+        },
+        "value_proj": nn.linear_init(k[2], d_model, d_model, dtype=dtype),
+        "output_proj": nn.linear_init(k[3], d_model, d_model, dtype=dtype),
+    }
+    return p
+
+
+def msda_layer(
+    p: dict,
+    query: jnp.ndarray,            # [B, Lq, C]
+    reference_points: jnp.ndarray,  # [B, Lq, L, 2] or [B, Lq, L, 4], in [0,1]
+    value_flatten: jnp.ndarray,     # [B, S, C]
+    spatial_shapes: tuple[tuple[int, int], ...],
+    n_heads: int,
+    n_points: int,
+    key_padding_mask: jnp.ndarray | None = None,  # [B, S] True = pad
+) -> jnp.ndarray:
+    """Full MSDeformAttn module forward (reference ms_deform_attn.py:100-204).
+    fp32 compute path (the reference disables autocast)."""
+    from vlm_fo1_tpu import nn
+
+    b, lq, c = query.shape
+    nlvl = len(spatial_shapes)
+    m, d = n_heads, c // n_heads
+
+    value = nn.linear(p["value_proj"], value_flatten)
+    if key_padding_mask is not None:
+        value = jnp.where(key_padding_mask[..., None], 0.0, value)
+    value = value.reshape(b, -1, m, d)
+
+    offsets = nn.linear(p["sampling_offsets"], query).reshape(
+        b, lq, m, nlvl, n_points, 2)
+    aw = nn.linear(p["attention_weights"], query).reshape(
+        b, lq, m, nlvl * n_points)
+    aw = jax.nn.softmax(aw.astype(jnp.float32), axis=-1).reshape(
+        b, lq, m, nlvl, n_points)
+
+    wh = jnp.asarray([[w, h] for (h, w) in spatial_shapes], jnp.float32)
+    if reference_points.shape[-1] == 2:
+        loc = (reference_points[:, :, None, :, None, :]
+               + offsets / wh[None, None, None, :, None, :])
+    elif reference_points.shape[-1] == 4:
+        loc = (reference_points[:, :, None, :, None, :2]
+               + offsets / n_points
+               * reference_points[:, :, None, :, None, 2:] * 0.5)
+    else:
+        raise ValueError("reference_points last dim must be 2 or 4")
+
+    out = ms_deform_attn_core(value, spatial_shapes, loc, aw)
+    return nn.linear(p["output_proj"], out.astype(query.dtype))

@@ -1,0 +1,101 @@
+"""Device-mesh parallelism: DP + TP via NamedSharding over a Mesh.
+
+The reference is single-GPU (SURVEY.md §2.4: no distributed code anywhere);
+its config carries a dormant HF tensor-parallel plan
+(configuration_qwen2_5_vl.py:178-186 — q/k/v/gate/up colwise, o/down rowwise)
+which we realise natively here: parameters get NamedShardings matching that
+plan, jit/GSPMD inserts the all-reduces over the mesh's ICI axis, and data
+parallelism shards the batch axis. No explicit collectives are written —
+XLA derives reduce-scatter/all-gather from the shardings.
+
+Mesh convention: axis "data" for batch sharding (DP), axis "model" for
+tensor parallelism (TP). Sequence-parallel growth path: shard the sequence
+axis of activations over "model" between attention blocks (not required for
+reference parity; see SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+import re
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(data: int = 1, model: int = 1, devices=None) -> Mesh:
+    """Build a (data, model) mesh. With devices=None uses all local devices;
+    total must equal data*model."""
+    if devices is None:
+        devices = jax.devices()
+    n = data * model
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    arr = np.array(devices[:n]).reshape(data, model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+# (path regex, PartitionSpec) — first match wins. Kernel layout is [in, out].
+_RULES: list[tuple[str, P]] = [
+    # LLM trunk: the HF tp_plan expressed natively
+    (r"text/layers/\d+/attn/(q_proj|k_proj|v_proj)/w$", P(None, "model")),
+    (r"text/layers/\d+/attn/(q_proj|k_proj|v_proj)/b$", P("model")),
+    (r"text/layers/\d+/attn/o_proj/w$", P("model", None)),
+    (r"text/layers/\d+/mlp/(gate_proj|up_proj)/w$", P(None, "model")),
+    (r"text/layers/\d+/mlp/down_proj/w$", P("model", None)),
+    (r"text/embed_tokens/w$", P(None, "model")),
+    (r"text/lm_head/w$", P(None, "model")),
+    # ViT blocks: same col/row pattern
+    (r"vision_tower/blocks/\d+/attn/qkv/w$", P(None, "model")),
+    (r"vision_tower/blocks/\d+/attn/qkv/b$", P("model")),
+    (r"vision_tower/blocks/\d+/attn/proj/w$", P("model", None)),
+    (r"vision_tower/blocks/\d+/mlp/(gate_proj|up_proj)/w$", P(None, "model")),
+    (r"vision_tower/blocks/\d+/mlp/down_proj/w$", P("model", None)),
+    # everything else (DaViT, HFRE, projectors, norms) replicated
+]
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def param_shardings(params, mesh: Mesh):
+    """PartitionSpec tree for a param pytree, by path rules. Dimensions that
+    don't divide evenly by the mesh axis fall back to replication (XLA
+    requires even shards for NamedSharding on weight matrices)."""
+    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+
+    def spec_for(path, leaf):
+        s = _path_str(path)
+        for pat, spec in _RULES:
+            if re.search(pat, s):
+                # verify divisibility per sharded dim
+                ok = True
+                for dim, name in enumerate(spec):
+                    if name is None:
+                        continue
+                    if dim >= leaf.ndim or leaf.shape[dim] % axis_sizes[name]:
+                        ok = False
+                        break
+                return NamedSharding(mesh, spec if ok else P())
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def shard_params(params, mesh: Mesh):
+    """Place a param pytree onto the mesh with the TP plan."""
+    shardings = param_shardings(params, mesh)
+    return jax.device_put(params, shardings)
+
+
+def data_sharding(mesh: Mesh, *spec) -> NamedSharding:
+    return NamedSharding(mesh, P(*spec))

@@ -1,0 +1,135 @@
+"""UPNWrapper: the UPN public API (reference inference_wrapper.py:29-237).
+
+    upn = UPNWrapper(ckpt_path)            # or UPNWrapper.random_init()
+    raw = upn.inference(image, prompt_type="fine_grained_prompt")
+    det = upn.filter(raw, min_score=0.3, nms_value=0.8)
+
+Preprocessing matches the reference transform (shortest side 800, long side
+cap 1333, ImageNet normalize — transform.py:6-142); images are padded to a
+stride-128 bucket with a validity mask so jit recompiles only per bucket, and
+the model runs one compiled program per bucket.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from vlm_fo1_tpu.ops.nms import nms_numpy
+from vlm_fo1_tpu.upn.model import UPNConfig, init_upn_params, upn_forward
+from vlm_fo1_tpu.upn.swin import swin_large_config
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+BUCKET = 128
+
+
+@partial(jax.jit, static_argnames=("cfg", "swin_cfg", "prompt"))
+def _jit_forward(params, cfg, swin_cfg, image, valid_hw, prompt):
+    return upn_forward(params, cfg, swin_cfg, image, valid_hw, prompt)
+
+
+class UPNWrapper:
+    def __init__(self, ckpt_path: str | None = None,
+                 cfg: UPNConfig | None = None, swin_cfg=None,
+                 dtype=jnp.float32, seed: int = 0):
+        self.cfg = cfg or UPNConfig()
+        self.swin_cfg = swin_cfg or swin_large_config()
+        if ckpt_path is not None:
+            from vlm_fo1_tpu.upn.convert import load_upn_checkpoint
+
+            self.params = load_upn_checkpoint(ckpt_path, self.cfg,
+                                              self.swin_cfg, dtype)
+        else:
+            self.params = init_upn_params(jax.random.PRNGKey(seed), self.cfg,
+                                          self.swin_cfg, dtype)
+
+    @classmethod
+    def random_init(cls, cfg=None, swin_cfg=None, seed=0, dtype=jnp.float32):
+        return cls(None, cfg, swin_cfg, dtype, seed)
+
+    # ------------------------------------------------------------- host
+
+    def transform_image(self, image_pil: Image.Image,
+                        short_side: int = 800, max_size: int = 1333):
+        """Shortest-edge resize capped at max_size + ImageNet normalize.
+        Returns ([H, W, 3] float32, (H, W))."""
+        w, h = image_pil.size
+        scale = short_side / min(h, w)
+        if max(h, w) * scale > max_size:
+            scale = max_size / max(h, w)
+        nh, nw = int(round(h * scale)), int(round(w * scale))
+        img = image_pil.resize((nw, nh), Image.Resampling.BILINEAR)
+        arr = (np.asarray(img, np.uint8).astype(np.float32) / 255.0
+               - IMAGENET_MEAN) / IMAGENET_STD
+        return arr, (nh, nw)
+
+    def _pad_to_bucket(self, arr: np.ndarray):
+        h, w, _ = arr.shape
+        ph = -(-h // BUCKET) * BUCKET
+        pw = -(-w // BUCKET) * BUCKET
+        out = np.zeros((ph, pw, 3), np.float32)
+        out[:h, :w] = arr
+        return out
+
+    # ----------------------------------------------------------- device
+
+    def inference(self, image, prompt_type: str = "fine_grained_prompt"):
+        """image: path / PIL / list of either. Returns dict with
+        original_xyxy_boxes [B, nq, 4] (pixels, score-sorted) and
+        scores [B, nq, 1]."""
+        if not isinstance(image, (list, tuple)):
+            image = [image]
+        all_boxes, all_scores = [], []
+        for img in image:
+            if isinstance(img, str):
+                img = Image.open(img).convert("RGB")
+            orig_w, orig_h = img.size
+            arr, (nh, nw) = self.transform_image(img)
+            padded = self._pad_to_bucket(arr)
+            out = _jit_forward(self.params, self.cfg, self.swin_cfg,
+                               jnp.asarray(padded[None]),
+                               jnp.asarray([[nh, nw]], np.int32),
+                               prompt_type)
+            boxes = np.asarray(out["pred_boxes"][0], np.float32)  # cxcywh [0,1]
+            scores = np.asarray(
+                jax.nn.sigmoid(out["pred_logits"][0]), np.float32)  # [nq, 1]
+            xyxy = np.empty_like(boxes)
+            xyxy[:, 0] = (boxes[:, 0] - boxes[:, 2] / 2) * orig_w
+            xyxy[:, 1] = (boxes[:, 1] - boxes[:, 3] / 2) * orig_h
+            xyxy[:, 2] = (boxes[:, 0] + boxes[:, 2] / 2) * orig_w
+            xyxy[:, 3] = (boxes[:, 1] + boxes[:, 3] / 2) * orig_h
+            order = np.argsort(-scores[:, 0], kind="stable")
+            all_boxes.append(xyxy[order])
+            all_scores.append(scores[order])
+        return {"original_xyxy_boxes": np.stack(all_boxes),
+                "scores": np.stack(all_scores)}
+
+    # ------------------------------------------------------------- post
+
+    def filter(self, result: dict, min_score: float, nms_value: float = 0.8):
+        """Score threshold + NMS + int cast, score-sorted
+        (reference inference_wrapper.py:186-237)."""
+        filtered = {"original_xyxy_boxes": [], "scores": []}
+        for boxes, scores in zip(np.asarray(result["original_xyxy_boxes"]),
+                                 np.asarray(result["scores"])):
+            keep = scores[:, 0] >= min_score
+            boxes = boxes[keep]
+            scores = scores[keep][:, 0]
+            if len(boxes) == 0:
+                return filtered
+            if nms_value > 0:
+                keep_idx = nms_numpy(boxes, scores, nms_value)
+            else:
+                keep_idx = np.arange(len(boxes))
+            boxes = boxes[keep_idx].astype(np.int32)
+            scores = scores[keep_idx]
+            order = np.argsort(-scores, kind="stable")
+            filtered["original_xyxy_boxes"].append(boxes[order].tolist())
+            filtered["scores"].append([round(float(s), 2)
+                                       for s in scores[order]])
+        return filtered
