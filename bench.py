@@ -53,9 +53,22 @@ class _BenchTokenizer:
         return "".join(chr(i) if i < 0x110000 else "?" for i in ids)
 
 
+def _enable_compile_cache():
+    import jax
+
+    cache_dir = os.environ.get("JAX_CACHE_DIR", "/root/repo/.jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    _enable_compile_cache()
 
     from vlm_fo1_tpu.config import FO1Config
     from vlm_fo1_tpu.models.fo1 import FO1Model

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -93,9 +94,11 @@ def convert_text_model(sd: dict, cfg: TextConfig) -> dict:
                     "up_proj": _lin(sd, f"{l}.mlp.up_proj", bias=False),
                     "down_proj": _lin(sd, f"{l}.mlp.down_proj", bias=False)},
         })
+    # stack per-layer trees for the scanned trunk (models/llm.py)
+    stacked = jax.tree.map(lambda *xs: np.stack(xs), *layers)
     params = {
         "embed_tokens": {"w": np.asarray(sd["embed_tokens.weight"])},
-        "layers": layers,
+        "layers": stacked,
         "norm": _rms(sd, "norm"),
     }
     if "lm_head.weight" in sd:

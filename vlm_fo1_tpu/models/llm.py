@@ -22,6 +22,12 @@ from vlm_fo1_tpu import nn
 from vlm_fo1_tpu.config import TextConfig
 
 
+def stack_layer_params(layers: list[dict]) -> dict:
+    """List of identical per-layer pytrees -> one pytree with a leading layer
+    axis, ready for lax.scan (cuts trace/compile time ~num_layers-fold)."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+
 def init_text_params(key, cfg: TextConfig, dtype=jnp.float32) -> dict:
     keys = jax.random.split(key, cfg.num_hidden_layers + 2)
     d = cfg.hidden_size
@@ -53,7 +59,7 @@ def init_text_params(key, cfg: TextConfig, dtype=jnp.float32) -> dict:
         })
     params = {
         "embed_tokens": nn.embedding_init(keys[-2], cfg.vocab_size, d, dtype),
-        "layers": layers,
+        "layers": stack_layer_params(layers),
         "norm": nn.rms_norm_init(d, dtype),
     }
     if not cfg.tie_word_embeddings:
@@ -107,10 +113,10 @@ def init_kv_cache(cfg: TextConfig, batch: int, max_len: int, dtype=jnp.bfloat16)
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
-def _attention(p, cfg: TextConfig, x, cos, sin, mask, kv_cache, layer_idx,
+def _attention(p, cfg: TextConfig, x, cos, sin, mask, layer_cache,
                cache_offset):
     """GQA attention. x: [B, S, D]; mask: [B, 1, S, C] (C = cache length when
-    a cache is used, else S); kv cache updated in place at cache_offset."""
+    a cache is used, else S); layer_cache: (k [B,C,Hkv,hd], v) or None."""
     b, s, _ = x.shape
     nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     q = nn.linear(p["q_proj"], x).reshape(b, s, nh, hd)
@@ -119,18 +125,14 @@ def _attention(p, cfg: TextConfig, x, cos, sin, mask, kv_cache, layer_idx,
     q = _apply_rope(q, cos, sin)
     k = _apply_rope(k, cos, sin)
 
-    if kv_cache is not None:
-        # single dynamic_update_slice on the stacked [L, B, C, Hkv, hd]
-        # buffer: with donated cache args XLA performs this in place
-        kfull = jax.lax.dynamic_update_slice(
-            kv_cache["k"], k.astype(kv_cache["k"].dtype)[None],
-            (layer_idx, 0, cache_offset, 0, 0))
-        vfull = jax.lax.dynamic_update_slice(
-            kv_cache["v"], v.astype(kv_cache["v"].dtype)[None],
-            (layer_idx, 0, cache_offset, 0, 0))
-        new_cache = {"k": kfull, "v": vfull}
-        k_all = kfull[layer_idx].astype(x.dtype)
-        v_all = vfull[layer_idx].astype(x.dtype)
+    if layer_cache is not None:
+        kc, vc = layer_cache
+        kc = jax.lax.dynamic_update_slice(
+            kc, k.astype(kc.dtype), (0, cache_offset, 0, 0))
+        vc = jax.lax.dynamic_update_slice(
+            vc, v.astype(vc.dtype), (0, cache_offset, 0, 0))
+        new_cache = (kc, vc)
+        k_all, v_all = kc.astype(x.dtype), vc.astype(x.dtype)
     else:
         new_cache = None
         k_all, v_all = k, v
@@ -148,6 +150,20 @@ def _attention(p, cfg: TextConfig, x, cos, sin, mask, kv_cache, layer_idx,
     return nn.linear(p["o_proj"], out), new_cache
 
 
+def _layer(layer, cfg, x, cos, sin, mask, layer_cache, cache_offset):
+    act = nn.ACT[cfg.hidden_act]
+    attn_out, new_cache = _attention(
+        layer["attn"], cfg,
+        nn.rms_norm(layer["input_layernorm"], x, eps=cfg.rms_norm_eps),
+        cos, sin, mask, layer_cache, cache_offset)
+    x = x + attn_out
+    h = nn.rms_norm(layer["post_attention_layernorm"], x, eps=cfg.rms_norm_eps)
+    x = x + nn.linear(layer["mlp"]["down_proj"],
+                      act(nn.linear(layer["mlp"]["gate_proj"], h))
+                      * nn.linear(layer["mlp"]["up_proj"], h))
+    return x, new_cache
+
+
 def text_forward(
     params: dict,
     cfg: TextConfig,
@@ -158,25 +174,31 @@ def text_forward(
     kv_cache: dict | None = None,
     cache_offset=0,
 ):
-    """Run the decoder trunk. Returns (hidden [B,S,D], updated kv_cache)."""
-    act = nn.ACT[cfg.hidden_act]
-    x = hidden
-    cache = kv_cache
-    for i, layer in enumerate(params["layers"]):
-        attn_out, cache_upd = _attention(
-            layer["attn"], cfg, nn.rms_norm(layer["input_layernorm"], x,
-                                            eps=cfg.rms_norm_eps),
-            cos, sin, mask, cache, i, cache_offset)
-        if cache_upd is not None:
-            cache = cache_upd
-        x = x + attn_out
-        h = nn.rms_norm(layer["post_attention_layernorm"], x,
-                        eps=cfg.rms_norm_eps)
-        x = x + nn.linear(layer["mlp"]["down_proj"],
-                          act(nn.linear(layer["mlp"]["gate_proj"], h))
-                          * nn.linear(layer["mlp"]["up_proj"], h))
+    """Run the decoder trunk via lax.scan over the stacked layer params
+    (one traced layer instead of num_hidden_layers copies — keeps compile
+    time flat in depth). Returns (hidden [B,S,D], updated kv_cache)."""
+    stacked = params["layers"]
+
+    if kv_cache is None:
+        def body(x, lp):
+            x, _ = _layer(lp, cfg, x, cos, sin, mask, None, cache_offset)
+            return x, None
+
+        x, _ = jax.lax.scan(body, hidden, stacked)
+        out_cache = None
+    else:
+        def body(x, xs):
+            lp, kc, vc = xs
+            x, (kc, vc) = _layer(lp, cfg, x, cos, sin, mask, (kc, vc),
+                                 cache_offset)
+            return x, (kc, vc)
+
+        x, (knew, vnew) = jax.lax.scan(
+            body, hidden, (stacked, kv_cache["k"], kv_cache["v"]))
+        out_cache = {"k": knew, "v": vnew}
+
     x = nn.rms_norm(params["norm"], x, eps=cfg.rms_norm_eps)
-    return x, cache
+    return x, out_cache
 
 
 def lm_head_logits(params: dict, cfg: TextConfig, hidden: jnp.ndarray):

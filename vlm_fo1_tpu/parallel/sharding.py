@@ -37,12 +37,13 @@ def create_mesh(data: int = 1, model: int = 1, devices=None) -> Mesh:
 
 # (path regex, PartitionSpec) — first match wins. Kernel layout is [in, out].
 _RULES: list[tuple[str, P]] = [
-    # LLM trunk: the HF tp_plan expressed natively
-    (r"text/layers/\d+/attn/(q_proj|k_proj|v_proj)/w$", P(None, "model")),
-    (r"text/layers/\d+/attn/(q_proj|k_proj|v_proj)/b$", P("model")),
-    (r"text/layers/\d+/attn/o_proj/w$", P("model", None)),
-    (r"text/layers/\d+/mlp/(gate_proj|up_proj)/w$", P(None, "model")),
-    (r"text/layers/\d+/mlp/down_proj/w$", P("model", None)),
+    # LLM trunk (stacked [num_layers, ...] for the scanned forward):
+    # the HF tp_plan expressed natively
+    (r"text/layers/attn/(q_proj|k_proj|v_proj)/w$", P(None, None, "model")),
+    (r"text/layers/attn/(q_proj|k_proj|v_proj)/b$", P(None, "model")),
+    (r"text/layers/attn/o_proj/w$", P(None, "model", None)),
+    (r"text/layers/mlp/(gate_proj|up_proj)/w$", P(None, None, "model")),
+    (r"text/layers/mlp/down_proj/w$", P(None, "model", None)),
     (r"text/embed_tokens/w$", P(None, "model")),
     (r"text/lm_head/w$", P(None, "model")),
     # ViT blocks: same col/row pattern
