@@ -160,7 +160,18 @@ def qwen_image_preprocess(
         image.height, image.width, factor=patch_size * merge_size,
         min_pixels=min_pixels, max_pixels=max_pixels)
     img = image.resize((w_bar, h_bar), Image.Resampling.BICUBIC)
-    arr = _normalize(np.asarray(img, np.uint8), QWEN_IMAGE_MEAN, QWEN_IMAGE_STD)
+    raw = np.asarray(img, np.uint8)
+
+    # fused native normalize+patchify (single pass); numpy fallback below
+    from vlm_fo1_tpu.native import qwen_patchify_native
+
+    native = qwen_patchify_native(raw, patch_size, merge_size,
+                                  temporal_patch_size, QWEN_IMAGE_MEAN,
+                                  QWEN_IMAGE_STD)
+    if native is not None:
+        return native, (1, h_bar // patch_size, w_bar // patch_size)
+
+    arr = _normalize(raw, QWEN_IMAGE_MEAN, QWEN_IMAGE_STD)
     chw = arr.transpose(2, 0, 1)  # [C, H, W]
 
     # a still image is repeated to fill the temporal patch
@@ -182,5 +193,13 @@ def aux_image_preprocess(image: Image.Image, image_size: int = 768) -> np.ndarra
     """DaViT aux branch: squash-resize to a fixed square, ImageNet
     normalisation. Returns [C, H, W] float32."""
     img = image.resize((image_size, image_size), Image.Resampling.BICUBIC)
-    arr = _normalize(np.asarray(img, np.uint8), AUX_IMAGE_MEAN, AUX_IMAGE_STD)
+    raw = np.asarray(img, np.uint8)
+
+    from vlm_fo1_tpu.native import normalize_chw_native
+
+    native = normalize_chw_native(raw, AUX_IMAGE_MEAN, AUX_IMAGE_STD)
+    if native is not None:
+        return native
+
+    arr = _normalize(raw, AUX_IMAGE_MEAN, AUX_IMAGE_STD)
     return arr.transpose(2, 0, 1)
