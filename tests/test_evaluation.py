@@ -1,0 +1,82 @@
+"""Evaluation runner tests on the tiny model with fabricated data files."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from vlm_fo1_tpu.config import FO1Config
+from vlm_fo1_tpu.evaluation.runners import eval_coco, eval_countbench, extract_count
+from vlm_fo1_tpu.models.fo1 import FO1Model
+
+
+def test_extract_count():
+    assert extract_count("There are <region1><region2> 4 oranges") == 4
+    assert extract_count("<region12><region3>") == 0
+    assert extract_count("no numbers here") == 0
+    assert extract_count("I count 12 items") == 12
+
+
+@pytest.fixture(scope="module")
+def model():
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from conftest import StubTokenizer
+
+    return FO1Model.random_init(FO1Config.tiny(), seed=0,
+                                tokenizer=StubTokenizer())
+
+
+def _write_images(tmp, rng, names):
+    for n in names:
+        Image.fromarray(rng.integers(0, 255, (64, 80, 3), dtype=np.uint8)
+                        ).save(os.path.join(tmp, n))
+
+
+def test_eval_countbench_runs(tmp_path, model, rng):
+    tmp = str(tmp_path)
+    _write_images(tmp, rng, ["a.jpg", "b.jpg"])
+    data = [
+        {"question": "How many x?", "answer": 2, "image": "a.jpg",
+         "bboxes": [[1, 1, 30, 30], [5, 5, 60, 50]], "scores": [0.9, 0.8]},
+        {"question": "How many y?", "answer": 1, "image": "b.jpg",
+         "bboxes": [[2, 2, 40, 40]], "scores": [0.7]},
+    ]
+    path = os.path.join(tmp, "count.json")
+    json.dump(data, open(path, "w"))
+    out = eval_countbench(model, path, tmp, max_new_tokens=4, verbose=False)
+    assert out["total"] == 2
+    assert 0.0 <= out["accuracy"] <= 1.0
+    assert len(out["predictions"]) == 2
+
+
+def test_eval_coco_runs(tmp_path, model, rng, monkeypatch):
+    tmp = str(tmp_path)
+    _write_images(tmp, rng, ["c.jpg"])
+    rows = [{"id": 42, "image": "c.jpg",
+             "bbox_list": [[1, 1, 30, 30], [5, 5, 60, 50]],
+             "score_list": [0.9, 0.8],
+             "conversations": [{"value": "Please detect cat."}]}]
+    eval_path = os.path.join(tmp, "eval.jsonl")
+    with open(eval_path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    orig_path = os.path.join(tmp, "instances.json")
+    json.dump({"categories": [{"name": "cat", "id": 7}]}, open(orig_path, "w"))
+
+    # random weights emit no markup; patch generate to a grounded answer to
+    # exercise the COCO record construction
+    class R:
+        text = "<ground>cat</ground><objects><region0><region1></objects>"
+
+    monkeypatch.setattr(model, "generate", lambda *a, **k: R())
+    out_path = os.path.join(tmp, "pred.json")
+    res = eval_coco(model, eval_path, orig_path, tmp, out_path)
+    assert len(res) == 2
+    assert res[0]["image_id"] == 42
+    assert res[0]["category_id"] == 7
+    assert res[0]["bbox"] == [1, 1, 29, 29]
+    assert res[0]["score"] == 0.9
+    assert os.path.exists(out_path)
