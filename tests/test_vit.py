@@ -9,8 +9,8 @@ from vlm_fo1_tpu.config import ViTConfig
 from vlm_fo1_tpu.models.vit import captures_to_feature_map, vit_forward
 from vlm_fo1_tpu.preprocess.windowing import build_vit_plan, pad_pixel_values
 
-CFG = ViTConfig(depth=3, hidden_size=32, intermediate_size=48, num_heads=2,
-                out_hidden_size=24, fullatt_block_indexes=(0, 2))
+CFG = ViTConfig(depth=4, hidden_size=32, intermediate_size=48, num_heads=2,
+                out_hidden_size=24, fullatt_block_indexes=(1, 3))
 
 
 def _hf_model():

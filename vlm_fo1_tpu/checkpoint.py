@@ -50,6 +50,8 @@ def _conv(sd, name, bias=True):
 
 def convert_vision_tower(sd: dict, cfg: ViTConfig) -> dict:
     """Keys relative to the ViT root (e.g. `blocks.0.attn.qkv.weight`)."""
+    from vlm_fo1_tpu.models.vit import vit_group_structure
+
     pe = np.asarray(sd["patch_embed.proj.weight"])  # [D, C, T, ph, pw]
     pe = pe.reshape(pe.shape[0], -1).T              # [patch_dim, D]
     blocks = []
@@ -64,9 +66,23 @@ def convert_vision_tower(sd: dict, cfg: ViTConfig) -> dict:
                     "up_proj": _lin(sd, f"{b}.mlp.up_proj"),
                     "down_proj": _lin(sd, f"{b}.mlp.down_proj")},
         })
+
+    # stack into the scanned (window*, full) group layout (models/vit.py)
+    g, wpg = vit_group_structure(cfg)
+    period = wpg + 1
+    win_groups, full_blocks = [], []
+    for gi in range(g):
+        grp = blocks[gi * period:(gi + 1) * period]
+        if wpg > 0:
+            win_groups.append(jax.tree.map(lambda *xs: np.stack(xs), *grp[:-1]))
+        full_blocks.append(grp[-1])
+    stacked = {"full": jax.tree.map(lambda *xs: np.stack(xs), *full_blocks)}
+    if wpg > 0:
+        stacked["window"] = jax.tree.map(lambda *xs: np.stack(xs), *win_groups)
+
     return {
         "patch_embed": {"proj": {"w": np.ascontiguousarray(pe)}},
-        "blocks": blocks,
+        "blocks": stacked,
         "merger": {
             "ln_q": _rms(sd, "merger.ln_q"),
             "fc1": _lin(sd, "merger.mlp.0"),

@@ -26,31 +26,68 @@ from vlm_fo1_tpu import nn
 from vlm_fo1_tpu.config import ViTConfig
 
 
+def vit_group_structure(cfg: ViTConfig) -> tuple[int, int]:
+    """(num_groups, window_blocks_per_group) for the scanned layout.
+
+    Requires the full-attention blocks to be evenly spaced at the end of each
+    group — true for every released Qwen2.5-VL geometry
+    (fullatt_block_indexes [7, 15, 23, 31] over depth 32)."""
+    g = len(cfg.fullatt_block_indexes)
+    period = cfg.depth // g
+    expected = tuple(period * (i + 1) - 1 for i in range(g))
+    if tuple(cfg.fullatt_block_indexes) != expected or period * g != cfg.depth:
+        raise NotImplementedError(
+            "vit scan layout needs evenly spaced full-attention blocks; got "
+            f"{cfg.fullatt_block_indexes} for depth {cfg.depth}")
+    return g, period - 1
+
+
+def _block_init(key, cfg: ViTConfig, dtype):
+    d = cfg.hidden_size
+    k = jax.random.split(key, 5)
+    return {
+        "norm1": nn.rms_norm_init(d, dtype),
+        "norm2": nn.rms_norm_init(d, dtype),
+        "attn": {
+            "qkv": nn.linear_init(k[0], d, 3 * d, dtype=dtype),
+            "proj": nn.linear_init(k[1], d, d, dtype=dtype),
+        },
+        "mlp": {
+            "gate_proj": nn.linear_init(k[2], d, cfg.intermediate_size, dtype=dtype),
+            "up_proj": nn.linear_init(k[3], d, cfg.intermediate_size, dtype=dtype),
+            "down_proj": nn.linear_init(k[4], cfg.intermediate_size, d, dtype=dtype),
+        },
+    }
+
+
+def stack_vit_blocks(blocks: list[dict], cfg: ViTConfig) -> dict:
+    """Depth-ordered block list -> {"window": [G, W, ...], "full": [G, ...]}
+    stacked pytrees for the two-level scan."""
+    g, wpg = vit_group_structure(cfg)
+    period = wpg + 1
+    window_groups = []
+    full_blocks = []
+    for gi in range(g):
+        grp = blocks[gi * period:(gi + 1) * period]
+        window_groups.append(jax.tree.map(lambda *xs: jnp.stack(xs), *grp[:-1])
+                             if wpg > 0 else {})
+        full_blocks.append(grp[-1])
+    out = {"full": jax.tree.map(lambda *xs: jnp.stack(xs), *full_blocks)}
+    if wpg > 0:
+        out["window"] = jax.tree.map(lambda *xs: jnp.stack(xs), *window_groups)
+    return out
+
+
 def init_vit_params(key, cfg: ViTConfig, dtype=jnp.float32) -> dict:
     keys = jax.random.split(key, cfg.depth + 2)
     d = cfg.hidden_size
-    blocks = []
-    for i in range(cfg.depth):
-        k = jax.random.split(keys[i], 5)
-        blocks.append({
-            "norm1": nn.rms_norm_init(d, dtype),
-            "norm2": nn.rms_norm_init(d, dtype),
-            "attn": {
-                "qkv": nn.linear_init(k[0], d, 3 * d, dtype=dtype),
-                "proj": nn.linear_init(k[1], d, d, dtype=dtype),
-            },
-            "mlp": {
-                "gate_proj": nn.linear_init(k[2], d, cfg.intermediate_size, dtype=dtype),
-                "up_proj": nn.linear_init(k[3], d, cfg.intermediate_size, dtype=dtype),
-                "down_proj": nn.linear_init(k[4], cfg.intermediate_size, d, dtype=dtype),
-            },
-        })
+    blocks = [_block_init(keys[i], cfg, dtype) for i in range(cfg.depth)]
     km = jax.random.split(keys[-1], 2)
     merged_dim = d * cfg.spatial_merge_unit
     return {
         "patch_embed": {"proj": nn.linear_init(keys[-2], cfg.patch_dim, d,
                                                bias=False, dtype=dtype)},
-        "blocks": blocks,
+        "blocks": stack_vit_blocks(blocks, cfg),
         "merger": {
             "ln_q": nn.rms_norm_init(d, dtype),
             "fc1": nn.linear_init(km[0], merged_dim, merged_dim, dtype=dtype),
@@ -112,8 +149,8 @@ def vit_forward(
 ):
     """Returns:
         tokens: [B, U, out_hidden] merged vision tokens in original order
-        captures: list of [B, P, D] hidden states at full-attention blocks
-            (padded window order; len == len(fullatt_block_indexes)), or [].
+        captures: [G, B, P, D] hidden states at the full-attention blocks
+            (padded window order; G == len(fullatt_block_indexes)).
     """
     b, pad, _ = patches.shape
     act = nn.ACT[cfg.hidden_act]
@@ -126,18 +163,29 @@ def vit_forward(
     win_mask = jnp.tile(win_mask, (b, 1, 1, 1))  # [B*W, 1, T, T]
     full_mask = (valid[None, None, :, None] & valid[None, None, None, :])
 
-    fullatt = set(cfg.fullatt_block_indexes)
-    captures = []
-    for i, blk in enumerate(params["blocks"]):
-        is_full = i in fullatt
+    def run_block(blk, x, windowed):
         attn_out = _attention(
             blk["attn"], nn.rms_norm(blk["norm1"], x), rot_cos, rot_sin,
-            full_mask if is_full else win_mask,
-            cfg.num_heads, windowed=not is_full, num_windows=num_windows)
+            win_mask if windowed else full_mask,
+            cfg.num_heads, windowed=windowed, num_windows=num_windows)
         x = x + attn_out
-        x = x + _mlp(blk["mlp"], nn.rms_norm(blk["norm2"], x), act)
-        if capture_multi_level and is_full:
-            captures.append(x)
+        return x + _mlp(blk["mlp"], nn.rms_norm(blk["norm2"], x), act)
+
+    # two-level scan over the periodic (window* , full) group structure:
+    # one traced window block + one traced full block regardless of depth
+    _, wpg = vit_group_structure(cfg)
+
+    def group_body(x, gp):
+        if wpg > 0:
+            def win_body(x, wp):
+                return run_block(wp, x, windowed=True), None
+
+            x, _ = jax.lax.scan(win_body, x, gp["window"])
+        x = run_block(gp["full"], x, windowed=False)
+        return x, x
+
+    x, captures = jax.lax.scan(group_body, x, params["blocks"])
+    # captures: [G, B, P, D] hidden states at the full-attention blocks
 
     # patch merger: fold each merge unit's 4 tokens into one vision token
     m = params["merger"]
@@ -149,7 +197,7 @@ def vit_forward(
 
 
 def captures_to_feature_map(
-    captures: list[jnp.ndarray],
+    captures,
     inv_token_idx: jnp.ndarray,
     grid_thw: tuple[int, int, int],
     merge_size: int = 2,
@@ -160,9 +208,15 @@ def captures_to_feature_map(
     (qwen2_5_vl_encoder.py:37-80) which un-permutes the window order and emits
     4 maps [1, D, gh, gw]; we return one concatenated [B, gh, gw, 4D] map
     (the HFRE concatenates them channel-wise anyway, hybrid...:259-261).
+
+    captures: [G, B, P, D] stacked (or a list of [B, P, D]).
     """
     t, gh, gw = grid_thw
-    x = jnp.concatenate(captures, axis=-1)          # [B, P, 4D]
+    if isinstance(captures, (list, tuple)):
+        x = jnp.concatenate(list(captures), axis=-1)
+    else:
+        x = captures.transpose(1, 2, 0, 3).reshape(
+            captures.shape[1], captures.shape[2], -1)  # [B, P, G*D]
     x = jnp.take(x, inv_token_idx, axis=1)          # [B, S, 4D] original order
     b, s, c = x.shape
     m = merge_size

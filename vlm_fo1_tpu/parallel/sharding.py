@@ -46,12 +46,19 @@ _RULES: list[tuple[str, P]] = [
     (r"text/layers/mlp/down_proj/w$", P(None, "model", None)),
     (r"text/embed_tokens/w$", P(None, "model")),
     (r"text/lm_head/w$", P(None, "model")),
-    # ViT blocks: same col/row pattern
-    (r"vision_tower/blocks/\d+/attn/qkv/w$", P(None, "model")),
-    (r"vision_tower/blocks/\d+/attn/qkv/b$", P("model")),
-    (r"vision_tower/blocks/\d+/attn/proj/w$", P("model", None)),
-    (r"vision_tower/blocks/\d+/mlp/(gate_proj|up_proj)/w$", P(None, "model")),
-    (r"vision_tower/blocks/\d+/mlp/down_proj/w$", P("model", None)),
+    # ViT blocks (stacked [G, ...] or [G, W, ...] scan layouts): shard the
+    # trailing in/out dims, replicate the leading stack dims
+    (r"vision_tower/blocks/window/attn/qkv/w$", P(None, None, None, "model")),
+    (r"vision_tower/blocks/window/attn/proj/w$", P(None, None, "model", None)),
+    (r"vision_tower/blocks/window/mlp/(gate_proj|up_proj)/w$",
+     P(None, None, None, "model")),
+    (r"vision_tower/blocks/window/mlp/down_proj/w$",
+     P(None, None, "model", None)),
+    (r"vision_tower/blocks/full/attn/qkv/w$", P(None, None, "model")),
+    (r"vision_tower/blocks/full/attn/proj/w$", P(None, "model", None)),
+    (r"vision_tower/blocks/full/mlp/(gate_proj|up_proj)/w$",
+     P(None, None, "model")),
+    (r"vision_tower/blocks/full/mlp/down_proj/w$", P(None, "model", None)),
     # everything else (DaViT, HFRE, projectors, norms) replicated
 ]
 
