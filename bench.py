@@ -104,10 +104,13 @@ def main():
         "bbox_list": bbox_list,
     }]
 
-    def run_once():
+    from vlm_fo1_tpu.runtime.profiler import StageTimer
+
+    def run_once(timer=None):
         # eos < 0 never fires -> exactly decode_tokens steps every iteration
         r = model.generate(messages, max_new_tokens=decode_tokens,
-                           max_pixels=max_pixels, eos_token_id=-1)
+                           max_pixels=max_pixels, eos_token_id=-1,
+                           timer=timer)
         return r
 
     # warmup / compile
@@ -115,10 +118,11 @@ def main():
     r = run_once()
     compile_s = time.time() - t0
 
+    timer = StageTimer()
     lat = []
     for _ in range(iters):
         t0 = time.time()
-        r = run_once()
+        r = run_once(timer)
         lat.append(time.time() - t0)
     lat = np.array(lat)
     p50 = float(np.percentile(lat, 50))
@@ -134,6 +138,7 @@ def main():
         "prompt_len": int(r.prompt_len),
         "preset": preset,
         "compile_s": round(compile_s, 1),
+        "stage_s": timer.report(),
         "backend": jax.default_backend(),
         "note": "end-to-end encode+ROI+prefill+decode on demo workload; "
                 "reference publishes no throughput baseline",

@@ -113,3 +113,14 @@ def test_no_boxes_message(model, rng):
     }]
     r = model.generate(msgs, max_new_tokens=4, max_pixels=128 * 128)
     assert r.num_steps >= 1
+
+
+def test_streaming_generate(model, rng):
+    msgs = _messages(rng)
+    seen = []
+    r = model.generate(msgs, max_new_tokens=5, max_pixels=128 * 128,
+                       streamer=seen.append)
+    assert len(seen) == r.num_steps
+    # non-streaming greedy must produce the same tokens
+    r2 = model.generate(msgs, max_new_tokens=5, max_pixels=128 * 128)
+    np.testing.assert_array_equal(r.token_ids, r2.token_ids)

@@ -115,3 +115,46 @@ def test_hfre_mean_combination(rng):
     bv = jnp.asarray(np.array([[10.0, 10.0, 80.0, 80.0]], np.float32))
     out = np.asarray(hfre_forward({}, cfg, aux, ba, vt, bv))
     np.testing.assert_allclose(out, 3.0, atol=1e-5)
+
+
+def test_simple_fpn_shapes(rng):
+    import jax
+
+    from vlm_fo1_tpu.models.simple_fpn import (
+        init_simple_fpn_params,
+        simple_fpn_forward,
+    )
+
+    params = init_simple_fpn_params(jax.random.PRNGKey(0), dim=32,
+                                    out_channels=16)
+    x = jnp.asarray(rng.standard_normal((1, 8, 12, 32)).astype(np.float32))
+    outs = simple_fpn_forward(params, x)
+    assert [tuple(o.shape) for o in outs] == [
+        (1, 32, 48, 16), (1, 16, 24, 16), (1, 8, 12, 16), (1, 4, 6, 16)]
+    for o in outs:
+        assert np.isfinite(np.asarray(o)).all()
+
+
+def test_hfre_simple_fpn_path(rng):
+    import jax
+
+    from vlm_fo1_tpu.models.simple_fpn import init_simple_fpn_params
+
+    cfg = HFREConfig(
+        roi_output_size=7,
+        region_feature_dim=16 + 4 * 16,
+        vt_region_feature_dim=4 * 16,
+        use_simple_fpn_for_vt=True,
+        apply_position_embedding=False,
+        aux_region_feature_dims=(4, 12),
+        aux_spatial_scale=0.25,
+    )
+    params = {"simple_fpn": init_simple_fpn_params(jax.random.PRNGKey(0),
+                                                   dim=32, out_channels=16)}
+    aux = jnp.asarray(rng.standard_normal((24, 24, 16)).astype(np.float32))
+    vt = jnp.asarray(rng.standard_normal((8, 12, 32)).astype(np.float32))
+    ba = jnp.asarray(np.array([[4.0, 4.0, 40.0, 40.0]], np.float32))
+    bv = jnp.asarray(np.array([[10.0, 10.0, 80.0, 80.0]], np.float32))
+    out = hfre_forward(params, cfg, aux, ba, vt, bv)
+    assert out.shape == (1, 16 + 64)
+    assert np.isfinite(np.asarray(out)).all()

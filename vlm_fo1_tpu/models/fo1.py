@@ -247,10 +247,21 @@ class FO1Model:
         seed: int = 0,
         max_pixels: int | None = None,
         eos_token_id: int | None = None,
+        streamer=None,
+        timer=None,
     ) -> GenerationResult:
+        """streamer: optional callable(text_so_far) — switches to a
+        step-by-step decode (the reference streams via HF TextStreamer,
+        mm_utils.py:628-630). timer: optional runtime.profiler.StageTimer."""
+        from vlm_fo1_tpu.runtime.profiler import StageTimer
+
         cfg = self.cfg
-        prep = self.prepare(messages, max_pixels=max_pixels)
-        vision_tokens, region_tokens, nb, region_padded = self.encode(prep)
+        timer = timer or StageTimer()
+        with timer.stage("prepare"):
+            prep = self.prepare(messages, max_pixels=max_pixels)
+        with timer.stage("encode"):
+            vision_tokens, region_tokens, nb, region_padded = self.encode(prep)
+            jax.block_until_ready(vision_tokens)
 
         info: SpliceInfo = prep["splice"]
         s = info.seq_len
@@ -259,27 +270,37 @@ class FO1Model:
         n_real = len(info.region_positions)
         reg_pos = np.full(nb, s, np.int32)
         reg_pos[:n_real] = info.region_positions
-        embeds = _splice_embeds(
-            self.params["text"], jnp.asarray(info.input_ids),
-            vision_tokens, jnp.asarray(info.image_positions),
-            region_padded, jnp.asarray(reg_pos), pad_len=pad_len)
+        with timer.stage("prefill"):
+            embeds = _splice_embeds(
+                self.params["text"], jnp.asarray(info.input_ids),
+                vision_tokens, jnp.asarray(info.image_positions),
+                region_padded, jnp.asarray(reg_pos), pad_len=pad_len)
 
-        pos = np.zeros((3, 1, pad_len), np.int32)
-        pos[:, :, :s] = prep["position_ids"]
-        cache_len = pad_len + max_new_tokens
-        cache, first_logits = prefill(
-            self.params["text"], cfg.text, embeds, jnp.asarray(pos),
-            jnp.asarray([s]), cache_len=cache_len)
+            pos = np.zeros((3, 1, pad_len), np.int32)
+            pos[:, :, :s] = prep["position_ids"]
+            cache_len = pad_len + max_new_tokens
+            cache, first_logits = prefill(
+                self.params["text"], cfg.text, embeds, jnp.asarray(pos),
+                jnp.asarray([s]), cache_len=cache_len)
+            jax.block_until_ready(first_logits)
 
         eos = cfg.eos_token_id if eos_token_id is None else eos_token_id
         gen_cfg = GenerationConfig(
             max_new_tokens=max_new_tokens, temperature=temperature,
             top_p=top_p, eos_token_id=eos,
             pad_token_id=cfg.pad_token_id)
-        tokens, steps = decode_loop(
-            self.params["text"], cfg.text, gen_cfg, cache, first_logits,
-            jnp.asarray([s]), jnp.asarray(prep["rope_deltas"][:, 0]),
-            jax.random.PRNGKey(seed))
+        with timer.stage("decode"):
+            if streamer is not None:
+                tokens, steps = self._decode_streaming(
+                    cache, first_logits, s, int(prep["rope_deltas"][0, 0]),
+                    gen_cfg, streamer)
+            else:
+                tokens, steps = decode_loop(
+                    self.params["text"], cfg.text, gen_cfg, cache,
+                    first_logits, jnp.asarray([s]),
+                    jnp.asarray(prep["rope_deltas"][:, 0]),
+                    jax.random.PRNGKey(seed))
+                jax.block_until_ready(tokens)
         tokens = np.asarray(tokens)[0]
         steps = int(steps)
         out = tokens[:steps]
@@ -289,3 +310,29 @@ class FO1Model:
                               eos) if self.tokenizer else ""
         return GenerationResult(text=text, token_ids=out,
                                 prompt_len=s, num_steps=steps)
+
+    def _decode_streaming(self, cache, first_logits, seq_len, delta, gen_cfg,
+                          streamer):
+        """Host-driven step decode that invokes `streamer(text_so_far)` after
+        every token (interactive parity with the reference's TextStreamer)."""
+        from vlm_fo1_tpu.runtime.generate import decode_step
+
+        tokens = []
+        cur = int(np.asarray(jnp.argmax(first_logits, -1))[0])
+        for step in range(gen_cfg.max_new_tokens):
+            tokens.append(cur)
+            if self.tokenizer is not None:
+                streamer(decode_to_text(self.tokenizer, tokens,
+                                        gen_cfg.eos_token_id))
+            if cur == gen_cfg.eos_token_id:
+                break
+            logits, cache = decode_step(
+                self.params["text"], self.cfg.text, cache,
+                jnp.asarray([cur], jnp.int32),
+                jnp.asarray([seq_len + delta + step], jnp.int32),
+                jnp.asarray(seq_len + step, jnp.int32))
+            cur = int(np.asarray(jnp.argmax(logits, -1))[0])
+        out = np.full((1, gen_cfg.max_new_tokens), gen_cfg.pad_token_id,
+                      np.int32)
+        out[0, :len(tokens)] = tokens
+        return out, len(tokens)

@@ -28,7 +28,11 @@ import jax.numpy as jnp
 
 from vlm_fo1_tpu import nn
 from vlm_fo1_tpu.config import HFREConfig
+from vlm_fo1_tpu.models.simple_fpn import simple_fpn_forward
 from vlm_fo1_tpu.ops.roi_align import roi_align_mean
+
+# SimpleFPN level strides for a 14px-patch ViT (reference hybrid...:245)
+FPN_STRIDES = (3.5, 7.0, 14.0, 28.0)
 
 
 def gen_sineembed_for_position(pos: jnp.ndarray, dim_feats: int) -> jnp.ndarray:
@@ -88,9 +92,7 @@ def hfre_forward(
 ) -> jnp.ndarray:
     """Region features [N, region_feature_dim] float32 for one image."""
     if cfg.use_vt_region_feature_only:
-        out = roi_align_mean(vt_map.astype(jnp.float32), vt_boxes,
-                             cfg.roi_output_size, cfg.vt_spatial_scale,
-                             cfg.roi_sampling_ratio)
+        out = _extract_vt_feature(params, cfg, vt_map, vt_boxes)
         if cfg.apply_position_embedding:
             out = out + _vt_pos_embed(vt_map, vt_boxes, cfg,
                                       cfg.region_feature_dim // 4)
@@ -104,9 +106,7 @@ def hfre_forward(
     if not cfg.use_vision_tower_region_feature:
         out = aux_feat
     else:
-        vt_feat = roi_align_mean(vt_map.astype(jnp.float32), vt_boxes,
-                                 cfg.roi_output_size, cfg.vt_spatial_scale,
-                                 cfg.roi_sampling_ratio)
+        vt_feat = _extract_vt_feature(params, cfg, vt_map, vt_boxes)
         if cfg.apply_region_layer_norm and "vt_region_norm" in params:
             vt_feat = nn.layer_norm(params["vt_region_norm"], vt_feat)
         comb = cfg.region_feature_combination
@@ -135,6 +135,24 @@ def hfre_forward(
             out = out + gen_sineembed_for_position(
                 pos, cfg.region_feature_dim // 4)
     return out
+
+
+def _extract_vt_feature(params: dict, cfg: HFREConfig, vt_map, vt_boxes):
+    """ViT-path region feature (reference extract_vt_region_feature,
+    hybrid...:230-273): single ROIAlign on the concatenated captures, or a
+    SimpleFPN pyramid with per-level strides when configured."""
+    if cfg.use_simple_fpn_for_vt:
+        levels = simple_fpn_forward(params["simple_fpn"],
+                                    vt_map.astype(jnp.float32)[None])
+        feats = [
+            roi_align_mean(lvl[0], vt_boxes, cfg.roi_output_size,
+                           1.0 / stride, cfg.roi_sampling_ratio)
+            for lvl, stride in zip(levels, FPN_STRIDES)
+        ]
+        return jnp.concatenate(feats, axis=-1)
+    return roi_align_mean(vt_map.astype(jnp.float32), vt_boxes,
+                          cfg.roi_output_size, cfg.vt_spatial_scale,
+                          cfg.roi_sampling_ratio)
 
 
 def _vt_pos_embed(vt_map, vt_boxes, cfg: HFREConfig, dim_feats: int):

@@ -144,6 +144,31 @@ def decode_loop(
     return tokens, step
 
 
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("kv_cache",))
+def decode_step(
+    params: dict,
+    cfg: TextConfig,
+    kv_cache: dict,
+    cur: jnp.ndarray,        # [B] current token ids
+    rope_pos: jnp.ndarray,   # [B] rope position of `cur`
+    write_at: jnp.ndarray,   # scalar cache slot of `cur`
+):
+    """One cached decode step (for streaming / interactive use — the batch
+    loop path is decode_loop). Returns (logits [B, V] fp32, kv_cache)."""
+    b = cur.shape[0]
+    cache_len = kv_cache["k"].shape[2]
+    emb = llm.embed_tokens(params, cur[:, None])
+    pos = jnp.broadcast_to(rope_pos[None, :, None], (3, b, 1))
+    cos, sin = llm.mrope_cos_sin(pos, cfg)
+    mask = jnp.broadcast_to(
+        (jnp.arange(cache_len) <= write_at)[None, None, None, :],
+        (b, 1, 1, cache_len))
+    hidden, kv_cache = llm.text_forward(params, cfg, emb, cos, sin, mask,
+                                        kv_cache=kv_cache,
+                                        cache_offset=write_at)
+    return llm.lm_head_logits(params, cfg, hidden)[:, 0], kv_cache
+
+
 def decode_to_text(tokenizer, token_row, eos_token_id=151645,
                    stop_strings=("<|im_end|>",)):
     """Host-side: trim at EOS and decode; string-level stop fallback mirrors
