@@ -71,12 +71,17 @@ def load_pretrained_model(model_path: str, load_8bit: bool = False,
                           load_4bit: bool = False, device: str | None = None):
     """Returns (tokenizer, model, (primary_processor, aux_processor)).
 
-    Quantized loading (8/4-bit) is not implemented yet; weights load as
-    bfloat16 (matching the reference default, model/builder.py:30).
+    load_8bit applies weight-only int8 quantization to the LLM trunk
+    (vlm_fo1_tpu.quant — TPU-native counterpart of the reference's
+    bitsandbytes path, model/builder.py:25-27). 4-bit is not implemented.
     """
-    if load_8bit or load_4bit:
-        raise NotImplementedError("quantized loading lands in a later round")
+    if load_4bit:
+        raise NotImplementedError("4-bit loading lands in a later round")
     model = FO1Model.from_pretrained(model_path)
+    if load_8bit:
+        from vlm_fo1_tpu.quant import quantize_params
+
+        model.params = quantize_params(model.params)
     facade = GenerateFacade(model)
     processors = (_ProcessorShim("primary", model), _ProcessorShim("aux", model))
     return model.tokenizer, facade, processors

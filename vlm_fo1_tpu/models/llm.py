@@ -202,12 +202,18 @@ def text_forward(
 
 
 def lm_head_logits(params: dict, cfg: TextConfig, hidden: jnp.ndarray):
-    """[B, S, D] -> [B, S, V] fp32 logits (tied or untied head)."""
+    """[B, S, D] -> [B, S, V] fp32 logits (tied or untied head; int8-aware)."""
     if cfg.tie_word_embeddings or "lm_head" not in params:
         w = params["embed_tokens"]["w"]
         return jnp.einsum("bsd,vd->bsv", hidden, w,
                           preferred_element_type=jnp.float32)
-    return jnp.einsum("bsd,dv->bsv", hidden, params["lm_head"]["w"],
+    head = params["lm_head"]
+    if "w_q" in head:
+        logits = jnp.einsum("bsd,dv->bsv", hidden,
+                            head["w_q"].astype(hidden.dtype),
+                            preferred_element_type=jnp.float32)
+        return logits * head["scale"]
+    return jnp.einsum("bsd,dv->bsv", hidden, head["w"],
                       preferred_element_type=jnp.float32)
 
 

@@ -39,7 +39,13 @@ def linear_init(key, in_dim, out_dim, bias=True, dtype=jnp.float32, std=0.02):
 
 
 def linear(p, x):
-    y = jnp.dot(x, p["w"])
+    if "w_q" in p:
+        # weight-only int8: upconvert fuses into the matmul, HBM reads are
+        # 1 byte/weight (see vlm_fo1_tpu.quant)
+        y = jnp.dot(x, p["w_q"].astype(x.dtype))
+        y = y * p["scale"].astype(x.dtype)
+    else:
+        y = jnp.dot(x, p["w"])
     if "b" in p:
         y = y + p["b"]
     return y

@@ -1,0 +1,66 @@
+"""Weight-only int8 quantization.
+
+Parity feature for the reference's `load_8bit` flag (model/builder.py:25-27,
+bitsandbytes) re-designed for TPU: per-output-channel symmetric int8 weights
+stored in HBM, upconverted inside the fused matmul — halves the HBM traffic
+that bounds single-stream decode. Activations stay bf16; scales are fp32.
+
+Quantized linears are drop-in: nn.linear dispatches on the presence of
+"w_q" in the param dict.
+"""
+
+from __future__ import annotations
+
+import re
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_linear(p: dict) -> dict:
+    """{"w": [in, out], "b"?} -> {"w_q": int8, "scale": f32 [out], "b"?}.
+    Works on stacked layer params too ([..., in, out]): scales are computed
+    over the `in` axis."""
+    w = p["w"].astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w), axis=-2, keepdims=True)
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    w_q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    out = {"w_q": w_q, "scale": scale.squeeze(-2).astype(jnp.float32)}
+    if "b" in p:
+        out["b"] = p["b"]
+    return out
+
+
+DEFAULT_QUANT_PATTERNS = (
+    # the decode-bandwidth hot spots: trunk projections + lm head
+    r"text/layers/(attn|mlp)/\w+$",
+    r"text/lm_head$",
+)
+
+
+def quantize_params(params, patterns=DEFAULT_QUANT_PATTERNS):
+    """Quantize every linear whose tree path matches one of `patterns`
+    (matched against 'a/b/c' joined key paths of the dict holding "w")."""
+    compiled = [re.compile(p) for p in patterns]
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            if "w" in node and not isinstance(node["w"], dict):
+                joined = "/".join(path)
+                if any(c.search(joined) for c in compiled) \
+                        and node["w"].ndim >= 2:
+                    return quantize_linear(node)
+            return {k: walk(v, path + (k,)) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v, path + (str(i),)) for i, v in enumerate(node)]
+        return node
+
+    return walk(params, ())
+
+
+def dequantize_linear(p: dict, dtype=jnp.bfloat16) -> dict:
+    out = {"w": (p["w_q"].astype(jnp.float32)
+                 * p["scale"][..., None, :]).astype(dtype)}
+    if "b" in p:
+        out["b"] = p["b"]
+    return out
