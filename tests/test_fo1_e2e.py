@@ -124,3 +124,23 @@ def test_streaming_generate(model, rng):
     # non-streaming greedy must produce the same tokens
     r2 = model.generate(msgs, max_new_tokens=5, max_pixels=128 * 128)
     np.testing.assert_array_equal(r.token_ids, r2.token_ids)
+
+
+def test_multi_image_prompt(model, rng):
+    """Two images in one prompt: both encoded, spliced in order."""
+    img1 = Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+    img2 = Image.fromarray(rng.integers(0, 255, (64, 96, 3), dtype=np.uint8))
+    msgs = [{
+        "role": "user",
+        "content": [
+            {"type": "image_url", "image_url": {"url": img1}},
+            {"type": "image_url", "image_url": {"url": img2}},
+            {"type": "text", "text": "compare"},
+        ],
+    }]
+    prep = model.prepare(msgs, max_pixels=128 * 128)
+    assert len(prep["plans"]) == 2
+    total_units = sum(p.num_units for p in prep["plans"])
+    assert len(prep["splice"].image_positions) == total_units
+    r = model.generate(msgs, max_new_tokens=3, max_pixels=128 * 128)
+    assert r.num_steps >= 1

@@ -158,3 +158,23 @@ def test_hfre_simple_fpn_path(rng):
     out = hfre_forward(params, cfg, aux, ba, vt, bv)
     assert out.shape == (1, 16 + 64)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_per_level_roi_equals_concat_roi(rng):
+    """roi_align_aux_levels must equal ROIAlign over the concatenated
+    upsampled map (channel independence of ROIAlign)."""
+    from vlm_fo1_tpu.models.hfre import roi_align_aux_levels
+    from vlm_fo1_tpu.ops.roi_align import roi_align_mean
+
+    cfg = _toy_cfg()
+    maps = [jnp.asarray(rng.standard_normal((16 // (2 ** i), 16 // (2 ** i),
+                                             4 * (i + 1))).astype(np.float32))
+            for i in range(3)]
+    boxes = jnp.asarray(np.array([[3.0, 5.0, 50.0, 40.0],
+                                  [0.0, 0.0, 64.0, 64.0]], np.float32))
+    per_level = np.asarray(roi_align_aux_levels(maps, boxes, cfg))
+    concat = upsample_concat_aux([m[None] for m in maps])[0]
+    ref = np.asarray(roi_align_mean(concat, boxes, cfg.roi_output_size,
+                                    cfg.aux_spatial_scale,
+                                    cfg.roi_sampling_ratio))
+    np.testing.assert_allclose(per_level, ref, atol=1e-5)

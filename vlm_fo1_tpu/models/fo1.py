@@ -26,7 +26,7 @@ from vlm_fo1_tpu import preprocess as pp
 from vlm_fo1_tpu.config import FO1Config
 from vlm_fo1_tpu.models import llm
 from vlm_fo1_tpu.models.davit import davit_forward, init_davit_params
-from vlm_fo1_tpu.models.hfre import hfre_forward, upsample_concat_aux
+from vlm_fo1_tpu.models.hfre import hfre_forward
 from vlm_fo1_tpu.models.projector import init_projector_params, projector_forward
 from vlm_fo1_tpu.models.vit import (
     captures_to_feature_map,
@@ -73,13 +73,26 @@ def _encode_image_and_regions(
     vt_map = captures_to_feature_map(captures, inv_token_idx, grid,
                                      cfg.vision.spatial_merge_size)[0]
     stage_maps = davit_forward(params["vision_tower_aux"], cfg.davit, aux_image)
-    aux_concat = upsample_concat_aux(stage_maps)[0]
-    region_feats = hfre_forward(params.get("hfre", {}), cfg.hfre, aux_concat,
+    region_feats = hfre_forward(params.get("hfre", {}), cfg.hfre,
+                                [m[0] for m in stage_maps],
                                 aux_boxes, vt_map, vt_boxes)
     region_tokens = projector_forward(
         params["mm_projector_aux"], cfg.mm_projector_aux_type,
         region_feats.astype(vision_tokens.dtype))
     return vision_tokens, region_tokens
+
+
+@partial(jax.jit, static_argnames=("cfg", "num_windows"))
+def _encode_image_only(params, cfg: FO1Config, patches, rot_cos, rot_sin,
+                       valid, inv_unit_idx, *, num_windows: int):
+    """Vision tokens for an extra (region-less) image in a multi-image
+    prompt."""
+    tokens, _ = vit_forward(
+        params["vision_tower"], cfg.vision, patches, rot_cos, rot_sin, valid,
+        num_windows=num_windows, inv_unit_idx=inv_unit_idx,
+        capture_multi_level=False)
+    return projector_forward(params["mm_projector"], cfg.mm_projector_type,
+                             tokens)[0]
 
 
 @partial(jax.jit, static_argnames=("pad_len",))
@@ -175,14 +188,23 @@ class FO1Model:
             images, per_image, max_size=cfg.max_image_long_side)
         bbox_list = bbox_lists[0]
 
-        img = images[0]  # reference processes the first image's regions
-        pv, grid = pp.qwen_image_preprocess(
-            img, patch_size=cfg.vision.patch_size,
-            merge_size=cfg.vision.spatial_merge_size,
-            min_pixels=cfg.min_pixels,
-            max_pixels=max_pixels or cfg.max_pixels)
-        aux = pp.aux_image_preprocess(img, cfg.aux_image_size)
+        # per-image primary preprocessing + window plans (the reference loops
+        # images one-by-one through the tower, qwen2_5_vl_encoder.py:238)
+        pvs, grids, plans = [], [], []
+        for img in images:
+            pv, grid = pp.qwen_image_preprocess(
+                img, patch_size=cfg.vision.patch_size,
+                merge_size=cfg.vision.spatial_merge_size,
+                min_pixels=cfg.min_pixels,
+                max_pixels=max_pixels or cfg.max_pixels)
+            pvs.append(pv)
+            grids.append(grid)
+            plans.append(build_vit_plan(grid, cfg.vision))
 
+        # regions attach to the first image (reference single-image flow)
+        img = images[0]
+        grid = grids[0]
+        aux = pp.aux_image_preprocess(img, cfg.aux_image_size)
         boxes = bbox_list[:cfg.max_regions]
         w, h = img.size
         aux_boxes = np.asarray(
@@ -194,20 +216,21 @@ class FO1Model:
         sy = grid[1] * cfg.vision.patch_size / cfg.aux_image_size
         vt_boxes = aux_boxes * np.array([sx, sy, sx, sy], np.float32)
 
-        plan = build_vit_plan(grid, cfg.vision)
-        info = expand_multimodal_tokens(tokens, [plan.num_units],
+        info = expand_multimodal_tokens(tokens,
+                                        [p.num_units for p in plans],
                                         cfg.image_token_id)
         pos_ids, deltas = pp.get_rope_index(
-            info.input_ids[None], [grid],
+            info.input_ids[None], grids,
             spatial_merge_size=cfg.vision.spatial_merge_size,
             image_token_id=cfg.image_token_id,
             video_token_id=cfg.video_token_id,
             vision_start_token_id=cfg.vision_start_token_id)
         return {
             "prompt": prompt, "images": images, "bbox_list": boxes,
-            "pixel_values": pv, "grid": grid, "plan": plan, "aux": aux,
-            "aux_boxes": aux_boxes, "vt_boxes": vt_boxes, "splice": info,
-            "position_ids": pos_ids, "rope_deltas": deltas,
+            "pixel_values": pvs[0], "grid": grid, "plan": plans[0],
+            "pixel_values_list": pvs, "grids": grids, "plans": plans,
+            "aux": aux, "aux_boxes": aux_boxes, "vt_boxes": vt_boxes,
+            "splice": info, "position_ids": pos_ids, "rope_deltas": deltas,
         }
 
     # ---------------------------------------------------------- device
@@ -236,6 +259,19 @@ class FO1Model:
             jnp.asarray(plan.inv_token_idx), aux_img,
             jnp.asarray(aux_b), jnp.asarray(vt_b),
             num_windows=plan.num_windows, grid=prep["grid"])
+
+        # extra images of a multi-image prompt: vision tokens only
+        extra = []
+        for pv, pl_i in zip(prep.get("pixel_values_list", [None])[1:],
+                            prep.get("plans", [None])[1:]):
+            extra.append(_encode_image_only(
+                self.params, cfg,
+                jnp.asarray(pad_pixel_values(pv, pl_i)[None], dtype=dt),
+                jnp.asarray(pl_i.rot_cos), jnp.asarray(pl_i.rot_sin),
+                jnp.asarray(pl_i.valid), jnp.asarray(pl_i.inv_unit_idx),
+                num_windows=pl_i.num_windows))
+        if extra:
+            vision_tokens = jnp.concatenate([vision_tokens, *extra], axis=0)
         return vision_tokens, region_tokens[:n_real], nb, region_tokens
 
     def generate(

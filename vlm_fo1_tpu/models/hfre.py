@@ -82,10 +82,31 @@ def upsample_concat_aux(aux_maps: list[jnp.ndarray]) -> jnp.ndarray:
     return jnp.concatenate(outs, axis=-1)
 
 
+def roi_align_aux_levels(aux_maps: list[jnp.ndarray], boxes, cfg: HFREConfig):
+    """Memory-lean aux-path pooling: per-level fp32 upsample + ROIAlign +
+    channel concat of the pooled features.
+
+    Exactly equals ROIAlign over upsample_concat_aux (ROIAlign is independent
+    per channel), but never materializes the [H0, W0, sumC] fp32 concat —
+    peak HBM is one upsampled level instead of all four (matters with the
+    full 3B weights resident). aux_maps: [Hi, Wi, Ci] (single image)."""
+    h0, w0 = aux_maps[0].shape[:2]
+    feats = []
+    for i, m in enumerate(aux_maps):
+        mf = m.astype(jnp.float32)
+        if i != 0:
+            mf = jax.image.resize(mf, (h0, w0, m.shape[-1]), method="bilinear")
+        feats.append(roi_align_mean(mf, boxes, cfg.roi_output_size,
+                                    cfg.aux_spatial_scale,
+                                    cfg.roi_sampling_ratio))
+    return jnp.concatenate(feats, axis=-1)
+
+
 def hfre_forward(
     params: dict,
     cfg: HFREConfig,
-    aux_concat: jnp.ndarray,     # [H0, W0, sumC] fp32 (single image)
+    aux_maps,                    # list of [Hi, Wi, Ci] stage maps, or one
+                                 # pre-concatenated [H0, W0, sumC] map
     aux_boxes: jnp.ndarray,      # [N, 4] xyxy in aux-input pixels
     vt_map: jnp.ndarray | None,  # [gh, gw, 4D] fp32
     vt_boxes: jnp.ndarray | None,  # [N, 4] xyxy in ViT-input pixels
@@ -98,8 +119,14 @@ def hfre_forward(
                                       cfg.region_feature_dim // 4)
         return out
 
-    aux_feat = roi_align_mean(aux_concat, aux_boxes, cfg.roi_output_size,
-                              cfg.aux_spatial_scale, cfg.roi_sampling_ratio)
+    if isinstance(aux_maps, (list, tuple)):
+        h0, w0 = aux_maps[0].shape[:2]
+        aux_feat = roi_align_aux_levels(aux_maps, aux_boxes, cfg)
+    else:
+        h0, w0 = aux_maps.shape[:2]
+        aux_feat = roi_align_mean(aux_maps, aux_boxes, cfg.roi_output_size,
+                                  cfg.aux_spatial_scale,
+                                  cfg.roi_sampling_ratio)
     if cfg.apply_region_layer_norm and "aux_region_norm" in params:
         aux_feat = nn.layer_norm(params["aux_region_norm"], aux_feat)
 
@@ -127,7 +154,6 @@ def hfre_forward(
             out = out + _vt_pos_embed(vt_map, vt_boxes, cfg,
                                       cfg.region_feature_dim // 4)
         else:
-            h0, w0 = aux_concat.shape[:2]
             img_w = w0 / cfg.aux_spatial_scale
             img_h = h0 / cfg.aux_spatial_scale
             pos = _xyxy_to_normalized_cxcywh(

@@ -106,7 +106,13 @@ def _apply_rotary(x, cos, sin):
     return out.astype(dt)
 
 
-def _attention(p, x, cos, sin, mask, num_heads, *, windowed, num_windows):
+# full attention switches to the Pallas flash kernel above this sequence
+# length (dense [P, P] logits for a 2048px image would need ~30GB)
+FLASH_FULL_ATTN_THRESHOLD = 4096
+
+
+def _attention(p, x, cos, sin, mask, num_heads, *, windowed, num_windows,
+               kv_valid=None):
     """One attention layer over the padded layout.
 
     x: [B, P, D]; mask: [B, 1, P, P] for full attention or
@@ -125,6 +131,14 @@ def _attention(p, x, cos, sin, mask, num_heads, *, windowed, num_windows):
         q, k, v = (a.reshape(shape) for a in (q, k, v))
         out = nn.sdpa(q, k, v, mask=mask)
         out = out.reshape(b, pad, d)
+    elif (pad >= FLASH_FULL_ATTN_THRESHOLD
+          and jax.default_backend() == "tpu"):
+        from vlm_fo1_tpu.ops.flash_attention import flash_attention
+
+        out = flash_attention(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), kv_valid=kv_valid)
+        out = out.transpose(0, 2, 1, 3).reshape(b, pad, d)
     else:
         out = nn.sdpa(q, k, v, mask=mask).reshape(b, pad, d)
     return nn.linear(p["proj"], out)
@@ -167,7 +181,8 @@ def vit_forward(
         attn_out = _attention(
             blk["attn"], nn.rms_norm(blk["norm1"], x), rot_cos, rot_sin,
             win_mask if windowed else full_mask,
-            cfg.num_heads, windowed=windowed, num_windows=num_windows)
+            cfg.num_heads, windowed=windowed, num_windows=num_windows,
+            kv_valid=valid)
         x = x + attn_out
         return x + _mlp(blk["mlp"], nn.rms_norm(blk["norm2"], x), act)
 

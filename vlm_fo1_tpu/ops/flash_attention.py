@@ -29,7 +29,7 @@ NEG_INF = -1e30
 
 
 def flash_attention_reference(q, k, v, *, causal=False, kv_len=None,
-                              scale=None):
+                              kv_valid=None, scale=None):
     """jnp oracle with identical semantics: q [B,H,Sq,D], k/v [B,Hkv,Sk,D]."""
     b, h, sq, d = q.shape
     hkv = k.shape[1]
@@ -46,12 +46,14 @@ def flash_attention_reference(q, k, v, *, causal=False, kv_len=None,
         mask &= jnp.arange(sk)[None, :] <= jnp.arange(sq)[:, None] + (sk - sq)
     if kv_len is not None:
         mask &= jnp.arange(sk)[None, :] < kv_len
+    if kv_valid is not None:
+        mask &= kv_valid[None, :]
     logits = jnp.where(mask[None, None], logits, NEG_INF)
     p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     return jnp.einsum("bhqk,bhkd->bhqd", p.astype(q.dtype), vx)
 
 
-def _kernel(kv_len_ref, q_ref, k_ref, v_ref, o_ref, acc, m_s, l_s,
+def _kernel(kv_len_ref, q_ref, k_ref, v_ref, valid_ref, o_ref, acc, m_s, l_s,
             *, scale, causal, block_q, block_k, sq, sk):
     qi = pl.program_id(1)
     ki = pl.program_id(2)
@@ -72,6 +74,10 @@ def _kernel(kv_len_ref, q_ref, k_ref, v_ref, o_ref, acc, m_s, l_s,
     kpos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32,
                                                    (block_q, block_k), 1)
     mask = kpos < kv_len_ref[0]
+    if valid_ref is not None:
+        # arbitrary per-key validity (interspersed padding, e.g. the padded
+        # window layout of the ViT)
+        mask &= (valid_ref[:, 0] > 0)[None, :]
     if causal:
         qpos = (qi * block_q
                 + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0))
@@ -102,6 +108,7 @@ def flash_attention(
     *,
     causal: bool = False,
     kv_len: int | jnp.ndarray | None = None,  # keys >= kv_len are masked
+    kv_valid: jnp.ndarray | None = None,      # [Sk] bool, arbitrary key mask
     scale: float | None = None,
     block_q: int = 256,
     block_k: int = 512,
@@ -109,7 +116,7 @@ def flash_attention(
 ) -> jnp.ndarray:
     """Online-softmax attention. Sq/Sk padded internally to block multiples;
     pad queries produce garbage rows that callers slice away (their keys are
-    masked by kv_len)."""
+    masked by kv_len / kv_valid)."""
     b, h, sq, d = q.shape
     hkv, sk = k.shape[1], k.shape[2]
     groups = h // hkv
@@ -138,20 +145,33 @@ def flash_attention(
         _kernel, scale=scale, causal=causal, block_q=block_q,
         block_k=block_k, sq=sq, sk=sk)
 
+    in_specs = [
+        # index maps receive the scalar-prefetch ref as last arg
+        pl.BlockSpec((1, block_q, d), lambda bh, qi, ki, kv: (bh, qi, 0)),
+        pl.BlockSpec((1, block_k, d),
+                     lambda bh, qi, ki, kv, g=groups: (bh // g, ki, 0)),
+        pl.BlockSpec((1, block_k, d),
+                     lambda bh, qi, ki, kv, g=groups: (bh // g, ki, 0)),
+    ]
+    inputs = [kv_len, qr, kr, vr]
+    if kv_valid is not None:
+        vmask = jnp.zeros((sk_pad, 1), jnp.int32).at[:sk, 0].set(
+            kv_valid.astype(jnp.int32))
+        in_specs.append(pl.BlockSpec((block_k, 1),
+                                     lambda bh, qi, ki, kv: (ki, 0)))
+        inputs.append(vmask)
+        kern = kernel
+    else:
+        def kern(kv_ref, q_ref, k_ref, v_ref, o_ref, acc, m_s, l_s):
+            return kernel(kv_ref, q_ref, k_ref, v_ref, None, o_ref,
+                          acc, m_s, l_s)
+
     out = pl.pallas_call(
-        kernel,
+        kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
-            in_specs=[
-                # index maps receive the scalar-prefetch ref as last arg
-                pl.BlockSpec((1, block_q, d),
-                             lambda bh, qi, ki, kv: (bh, qi, 0)),
-                pl.BlockSpec((1, block_k, d),
-                             lambda bh, qi, ki, kv, g=groups: (bh // g, ki, 0)),
-                pl.BlockSpec((1, block_k, d),
-                             lambda bh, qi, ki, kv, g=groups: (bh // g, ki, 0)),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, block_q, d),
                                    lambda bh, qi, ki, kv: (bh, qi, 0)),
             scratch_shapes=[
@@ -162,7 +182,7 @@ def flash_attention(
         ),
         out_shape=jax.ShapeDtypeStruct((b * h, sq_pad, d), q.dtype),
         interpret=interpret,
-    )(kv_len, qr, kr, vr)
+    )(*inputs)
 
     out = out.reshape(b, h, sq_pad, d)
     return out[:, :, :sq]

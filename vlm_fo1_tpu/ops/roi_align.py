@@ -70,11 +70,13 @@ def roi_align(
     lx = xc - x0
     hy, hx = 1.0 - ly, 1.0 - lx
 
-    flat = feat.reshape(h * w, c).astype(jnp.float32)
+    # gather in the source dtype (keeps the big map in bf16 HBM); the
+    # bilinear weighting upcasts per-tap to fp32
+    flat = feat.reshape(h * w, c)
 
     def tap(yi, xi, wgt):
         g = jnp.take(flat, (yi * w + xi).reshape(-1), axis=0)
-        g = g.reshape(*yi.shape, c)
+        g = g.reshape(*yi.shape, c).astype(jnp.float32)
         return g * wgt[..., None]
 
     val = (tap(y0, x0, hy * hx) + tap(y0, x1i, hy * lx)

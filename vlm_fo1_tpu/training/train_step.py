@@ -17,7 +17,7 @@ import optax
 from vlm_fo1_tpu.config import FO1Config
 from vlm_fo1_tpu.models import llm
 from vlm_fo1_tpu.models.davit import davit_forward
-from vlm_fo1_tpu.models.hfre import hfre_forward, upsample_concat_aux
+from vlm_fo1_tpu.models.hfre import hfre_forward
 from vlm_fo1_tpu.models.projector import projector_forward
 from vlm_fo1_tpu.models.vit import captures_to_feature_map, vit_forward
 
@@ -42,16 +42,15 @@ def multimodal_lm_loss(params, cfg: FO1Config, batch, *, num_windows, grid):
                                      cfg.vision.spatial_merge_size)
     stage_maps = davit_forward(params["vision_tower_aux"], cfg.davit,
                                batch["aux_image"])
-    aux_concat = upsample_concat_aux(stage_maps)
 
-    def regions_one(aux_c, aux_b, vt_m, vt_b):
-        feats = hfre_forward(params.get("hfre", {}), cfg.hfre, aux_c, aux_b,
-                             vt_m, vt_b)
+    def regions_one(aux_maps, aux_b, vt_m, vt_b):
+        feats = hfre_forward(params.get("hfre", {}), cfg.hfre, aux_maps,
+                             aux_b, vt_m, vt_b)
         return projector_forward(params["mm_projector_aux"],
                                  cfg.mm_projector_aux_type,
                                  feats.astype(vis.dtype))
 
-    reg = jax.vmap(regions_one)(aux_concat, batch["aux_boxes"], vt_map,
+    reg = jax.vmap(regions_one)(list(stage_maps), batch["aux_boxes"], vt_map,
                                 batch["vt_boxes"])  # [B, N, D]
 
     def splice_one(ids, v, ip, r, rp):
