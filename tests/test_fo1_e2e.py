@@ -144,3 +144,26 @@ def test_multi_image_prompt(model, rng):
     assert len(prep["splice"].image_positions) == total_units
     r = model.generate(msgs, max_new_tokens=3, max_pixels=128 * 128)
     assert r.num_steps >= 1
+
+
+def test_video_prompt(model, rng):
+    """A video message flows through the Qwen-native temporal path."""
+    frames = [Image.fromarray(rng.integers(0, 255, (56, 56, 3),
+                                           dtype=np.uint8))
+              for _ in range(4)]
+    msgs = [{
+        "role": "user",
+        "content": [
+            {"type": "video_url", "video_url": {"url": frames}},
+            {"type": "text", "text": "what happens?"},
+        ],
+    }]
+    prep = model.prepare(msgs, max_pixels=128 * 128)
+    assert prep["grids"][0][0] == 2  # 4 frames -> 2 temporal patches
+    assert not prep["first_is_image"]
+    # expanded ids carry the video pad id
+    vid_id = model.cfg.video_token_id
+    assert (prep["splice"].input_ids[prep["splice"].image_positions]
+            == vid_id).all()
+    r = model.generate(msgs, max_new_tokens=3, max_pixels=128 * 128)
+    assert r.num_steps >= 1

@@ -176,59 +176,92 @@ class FO1Model:
         (reference mm_utils.py:530-655). Returns everything the device
         programs need."""
         cfg = self.cfg
-        prompt, tokens, image_urls, bbox_list = build_chat_tokens(
+        prompt, tokens, media_urls, bbox_list = build_chat_tokens(
             self.tokenizer, messages)
-        if not image_urls:
-            raise ValueError("FO1 requires at least one image message")
-        images = [pp.load_image(u) for u in image_urls]
-        # always pass per-image box lists (regions attach to the first image,
-        # matching the reference single-image region flow)
-        per_image = [list(bbox_list or [])] + [[] for _ in images[1:]]
-        images, bbox_lists = pp.resize_shortest_edge_images_and_bboxes(
-            images, per_image, max_size=cfg.max_image_long_side)
-        bbox_list = bbox_lists[0]
+        if not media_urls:
+            raise ValueError("FO1 requires at least one image/video message")
 
-        # per-image primary preprocessing + window plans (the reference loops
-        # images one-by-one through the tower, qwen2_5_vl_encoder.py:238)
-        pvs, grids, plans = [], [], []
-        for img in images:
-            pv, grid = pp.qwen_image_preprocess(
-                img, patch_size=cfg.vision.patch_size,
-                merge_size=cfg.vision.spatial_merge_size,
-                min_pixels=cfg.min_pixels,
-                max_pixels=max_pixels or cfg.max_pixels)
+        # load media: plain entries are images, {"video": frames} are videos
+        media = []
+        for u in media_urls:
+            if isinstance(u, dict) and "video" in u:
+                media.append(("video", [pp.load_image(f) for f in u["video"]]))
+            else:
+                media.append(("image", pp.load_image(u)))
+
+        # shortest-edge resize + box rescale for images (regions attach to
+        # the first image slot, matching the reference single-image flow)
+        first_image_idx = next((i for i, (k, _) in enumerate(media)
+                                if k == "image"), None)
+        boxes = []
+        if first_image_idx is not None:
+            imgs = [m for k, m in media if k == "image"]
+            per_image = [list(bbox_list or [])] + [[] for _ in imgs[1:]]
+            imgs, bbox_lists = pp.resize_shortest_edge_images_and_bboxes(
+                imgs, per_image, max_size=cfg.max_image_long_side)
+            boxes = bbox_lists[0][:cfg.max_regions]
+            it = iter(imgs)
+            media = [(k, next(it) if k == "image" else m) for k, m in media]
+
+        # per-slot primary preprocessing + window plans (the reference loops
+        # media one-by-one through the tower, qwen2_5_vl_encoder.py:238)
+        pvs, grids, plans, slot_ids = [], [], [], []
+        for kind, m in media:
+            if kind == "video":
+                pv, grid = pp.qwen_video_preprocess(
+                    m, patch_size=cfg.vision.patch_size,
+                    merge_size=cfg.vision.spatial_merge_size,
+                    min_pixels=cfg.min_pixels,
+                    max_pixels=max_pixels or 1024 * 1024)
+                slot_ids.append(cfg.video_token_id)
+            else:
+                pv, grid = pp.qwen_image_preprocess(
+                    m, patch_size=cfg.vision.patch_size,
+                    merge_size=cfg.vision.spatial_merge_size,
+                    min_pixels=cfg.min_pixels,
+                    max_pixels=max_pixels or cfg.max_pixels)
+                slot_ids.append(cfg.image_token_id)
             pvs.append(pv)
             grids.append(grid)
             plans.append(build_vit_plan(grid, cfg.vision))
 
-        # regions attach to the first image (reference single-image flow)
-        img = images[0]
-        grid = grids[0]
-        aux = pp.aux_image_preprocess(img, cfg.aux_image_size)
-        boxes = bbox_list[:cfg.max_regions]
-        w, h = img.size
-        aux_boxes = np.asarray(
-            pp.adjust_bbox(boxes, h, w, cfg.aux_image_size, cfg.aux_image_size)
-            if boxes else np.zeros((0, 4)), np.float32).reshape(-1, 4)
-        # rescale aux-space boxes into ViT-input pixel space
-        # (reference omchat_qwen2_5_vl.py:94-99)
-        sx = grid[2] * cfg.vision.patch_size / cfg.aux_image_size
-        sy = grid[1] * cfg.vision.patch_size / cfg.aux_image_size
-        vt_boxes = aux_boxes * np.array([sx, sy, sx, sy], np.float32)
+        # aux branch + boxes only when the first slot is an image
+        if first_image_idx == 0:
+            img = media[0][1]
+            grid = grids[0]
+            aux = pp.aux_image_preprocess(img, cfg.aux_image_size)
+            w, h = img.size
+            aux_boxes = np.asarray(
+                pp.adjust_bbox(boxes, h, w, cfg.aux_image_size,
+                               cfg.aux_image_size)
+                if boxes else np.zeros((0, 4)), np.float32).reshape(-1, 4)
+            # rescale aux-space boxes into ViT-input pixel space
+            # (reference omchat_qwen2_5_vl.py:94-99)
+            sx = grid[2] * cfg.vision.patch_size / cfg.aux_image_size
+            sy = grid[1] * cfg.vision.patch_size / cfg.aux_image_size
+            vt_boxes = aux_boxes * np.array([sx, sy, sx, sy], np.float32)
+        else:
+            aux = None
+            boxes = []
+            aux_boxes = np.zeros((0, 4), np.float32)
+            vt_boxes = np.zeros((0, 4), np.float32)
 
         info = expand_multimodal_tokens(tokens,
                                         [p.num_units for p in plans],
-                                        cfg.image_token_id)
+                                        slot_ids)
         pos_ids, deltas = pp.get_rope_index(
             info.input_ids[None], grids,
             spatial_merge_size=cfg.vision.spatial_merge_size,
             image_token_id=cfg.image_token_id,
             video_token_id=cfg.video_token_id,
-            vision_start_token_id=cfg.vision_start_token_id)
+            vision_start_token_id=cfg.vision_start_token_id,
+            tokens_per_second=cfg.vision.tokens_per_second,
+            second_per_grid_ts=[1.0] * sum(k == "video" for k, _ in media))
         return {
-            "prompt": prompt, "images": images, "bbox_list": boxes,
-            "pixel_values": pvs[0], "grid": grid, "plan": plans[0],
+            "prompt": prompt, "media": media, "bbox_list": boxes,
+            "pixel_values": pvs[0], "grid": grids[0], "plan": plans[0],
             "pixel_values_list": pvs, "grids": grids, "plans": plans,
+            "first_is_image": first_image_idx == 0,
             "aux": aux, "aux_boxes": aux_boxes, "vt_boxes": vt_boxes,
             "splice": info, "position_ids": pos_ids, "rope_deltas": deltas,
         }
@@ -240,37 +273,49 @@ class FO1Model:
         (vision_tokens [U, D], region_tokens [n_real, D])."""
         cfg = self.cfg
         plan = prep["plan"]
-        n_real = len(prep["aux_boxes"])
-        nb = _round_boxes(max(n_real, 1))
-        dummy = np.array([[0.0, 10.0, 0.0, 10.0]], np.float32)
-        aux_b = np.concatenate(
-            [prep["aux_boxes"], np.tile(dummy, (nb - n_real, 1))])[:nb]
-        vt_b = np.concatenate(
-            [prep["vt_boxes"], np.tile(dummy, (nb - n_real, 1))])[:nb]
-
         dt = jax.tree.leaves(self.params["vision_tower"])[0].dtype
-        patches = jnp.asarray(
-            pad_pixel_values(prep["pixel_values"], plan)[None], dtype=dt)
-        aux_img = jnp.asarray(prep["aux"].transpose(1, 2, 0)[None], dtype=dt)
-        vision_tokens, region_tokens = _encode_image_and_regions(
-            self.params, cfg, patches,
-            jnp.asarray(plan.rot_cos), jnp.asarray(plan.rot_sin),
-            jnp.asarray(plan.valid), jnp.asarray(plan.inv_unit_idx),
-            jnp.asarray(plan.inv_token_idx), aux_img,
-            jnp.asarray(aux_b), jnp.asarray(vt_b),
-            num_windows=plan.num_windows, grid=prep["grid"])
+        first_is_image = prep.get("first_is_image", True)
 
-        # extra images of a multi-image prompt: vision tokens only
+        if first_is_image:
+            n_real = len(prep["aux_boxes"])
+            nb = _round_boxes(max(n_real, 1))
+            dummy = np.array([[0.0, 10.0, 0.0, 10.0]], np.float32)
+            aux_b = np.concatenate(
+                [prep["aux_boxes"], np.tile(dummy, (nb - n_real, 1))])[:nb]
+            vt_b = np.concatenate(
+                [prep["vt_boxes"], np.tile(dummy, (nb - n_real, 1))])[:nb]
+            patches = jnp.asarray(
+                pad_pixel_values(prep["pixel_values"], plan)[None], dtype=dt)
+            aux_img = jnp.asarray(prep["aux"].transpose(1, 2, 0)[None],
+                                  dtype=dt)
+            vision_tokens, region_tokens = _encode_image_and_regions(
+                self.params, cfg, patches,
+                jnp.asarray(plan.rot_cos), jnp.asarray(plan.rot_sin),
+                jnp.asarray(plan.valid), jnp.asarray(plan.inv_unit_idx),
+                jnp.asarray(plan.inv_token_idx), aux_img,
+                jnp.asarray(aux_b), jnp.asarray(vt_b),
+                num_windows=plan.num_windows, grid=prep["grid"])
+            rest = zip(prep["pixel_values_list"][1:], prep["plans"][1:])
+        else:
+            # first slot is a video: no region branch
+            n_real = 0
+            nb = _round_boxes(1)
+            d_model = cfg.text.hidden_size
+            region_tokens = jnp.zeros((nb, d_model), dtype=dt)
+            vision_tokens = None
+            rest = zip(prep["pixel_values_list"], prep["plans"])
+
         extra = []
-        for pv, pl_i in zip(prep.get("pixel_values_list", [None])[1:],
-                            prep.get("plans", [None])[1:]):
+        for pv, pl_i in rest:
             extra.append(_encode_image_only(
                 self.params, cfg,
                 jnp.asarray(pad_pixel_values(pv, pl_i)[None], dtype=dt),
                 jnp.asarray(pl_i.rot_cos), jnp.asarray(pl_i.rot_sin),
                 jnp.asarray(pl_i.valid), jnp.asarray(pl_i.inv_unit_idx),
                 num_windows=pl_i.num_windows))
-        if extra:
+        if vision_tokens is None:
+            vision_tokens = jnp.concatenate(extra, axis=0)
+        elif extra:
             vision_tokens = jnp.concatenate([vision_tokens, *extra], axis=0)
         return vision_tokens, region_tokens[:n_real], nb, region_tokens
 

@@ -5,6 +5,7 @@ from vlm_fo1_tpu.preprocess.image import (  # noqa: F401
     resize_shortest_edge_images_and_bboxes,
     adjust_bbox,
     qwen_image_preprocess,
+    qwen_video_preprocess,
     aux_image_preprocess,
 )
 from vlm_fo1_tpu.preprocess.windowing import ViTPlan, build_vit_plan  # noqa: F401

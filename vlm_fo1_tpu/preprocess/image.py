@@ -189,6 +189,45 @@ def qwen_image_preprocess(
     return pixel_values, (1, grid_h, grid_w)
 
 
+def qwen_video_preprocess(
+    frames: list[Image.Image],
+    patch_size: int = 14,
+    merge_size: int = 2,
+    temporal_patch_size: int = 2,
+    min_pixels: int = 56 * 56,
+    max_pixels: int = 1024 * 1024,
+):
+    """Qwen2-VL video patchify: all frames share one smart-resize geometry;
+    consecutive `temporal_patch_size` frames form one temporal patch.
+
+    Returns (pixel_values [gt*gh*gw, C*T*ph*pw] float32, (gt, gh, gw)).
+    """
+    if len(frames) % temporal_patch_size:
+        frames = frames + [frames[-1]] * (
+            temporal_patch_size - len(frames) % temporal_patch_size)
+    h_bar, w_bar = smart_resize(
+        frames[0].height, frames[0].width, factor=patch_size * merge_size,
+        min_pixels=min_pixels, max_pixels=max_pixels)
+    arr = np.stack([
+        _normalize(np.asarray(f.resize((w_bar, h_bar),
+                                       Image.Resampling.BICUBIC), np.uint8),
+                   QWEN_IMAGE_MEAN, QWEN_IMAGE_STD).transpose(2, 0, 1)
+        for f in frames
+    ])  # [T_total, C, H, W]
+    grid_t = len(frames) // temporal_patch_size
+    grid_h, grid_w = h_bar // patch_size, w_bar // patch_size
+    c = arr.shape[1]
+    patches = arr.reshape(
+        grid_t, temporal_patch_size, c,
+        grid_h // merge_size, merge_size, patch_size,
+        grid_w // merge_size, merge_size, patch_size)
+    patches = patches.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
+    pixel_values = np.ascontiguousarray(patches).reshape(
+        grid_t * grid_h * grid_w,
+        c * temporal_patch_size * patch_size * patch_size)
+    return pixel_values, (grid_t, grid_h, grid_w)
+
+
 def aux_image_preprocess(image: Image.Image, image_size: int = 768) -> np.ndarray:
     """DaViT aux branch: squash-resize to a fixed square, ImageNet
     normalisation. Returns [C, H, W] float32."""

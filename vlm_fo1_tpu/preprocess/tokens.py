@@ -100,14 +100,17 @@ def make_message_context(tokenizer, message: dict):
         for part in content:
             if part["type"] == "text":
                 text += part["text"]
-            elif part["type"] == "image_url":
+            elif part["type"] in ("image_url", "video_url"):
                 text += VISION_START_TOKEN + "<image>" + VISION_END_TOKEN + "\n"
-                if bbox_list:
+                if bbox_list and part["type"] == "image_url":
                     for idx in range(len(bbox_list)):
                         text += (DEFAULT_REGION_TOKEN.replace("<i>", str(idx))
                                  + DEFAULT_REGION_FEATURE_TOKEN)
                     text += "\n"
-                image_urls.append(part["image_url"]["url"])
+                if part["type"] == "video_url":
+                    image_urls.append({"video": part["video_url"]["url"]})
+                else:
+                    image_urls.append(part["image_url"]["url"])
         text += f"{IM_END}\n"
         if bbox_list:
             tokens = tokenizer_image_region_token(text, tokenizer)
@@ -163,15 +166,20 @@ class SpliceInfo:
 def expand_multimodal_tokens(
     tokens: list[int],
     units_per_image: list[int],
-    image_token_id: int = QWEN2_5_VL_IMAGE_TOKEN_INDEX,
+    image_token_id: int | list[int] = QWEN2_5_VL_IMAGE_TOKEN_INDEX,
 ) -> SpliceInfo:
     """Expand -200 sentinels into `units_per_image[i]` copies of the image
     token id and record scatter positions for image / region features.
+
+    image_token_id may be a per-slot list (video slots use the video pad id
+    so get_rope_index applies temporal positions).
 
     The resulting id sequence equals the reference's `new_input_ids`
     (omchat_qwen2_5_vl.py:282,357): real vocab ids everywhere except region
     slots, which keep REGION_TOKEN_INDEX until the embedding scatter.
     """
+    if isinstance(image_token_id, int):
+        image_token_id = [image_token_id] * len(units_per_image)
     out: list[int] = []
     image_positions: list[int] = []
     region_positions: list[int] = []
@@ -179,9 +187,10 @@ def expand_multimodal_tokens(
     for tok in tokens:
         if tok == IMAGE_TOKEN_INDEX:
             n = units_per_image[img]
+            tid = image_token_id[img]
             img += 1
             image_positions.extend(range(len(out), len(out) + n))
-            out.extend([image_token_id] * n)
+            out.extend([tid] * n)
         elif tok == REGION_TOKEN_INDEX:
             region_positions.append(len(out))
             out.append(REGION_TOKEN_INDEX)
