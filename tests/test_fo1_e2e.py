@@ -167,3 +167,18 @@ def test_video_prompt(model, rng):
             == vid_id).all()
     r = model.generate(msgs, max_new_tokens=3, max_pixels=128 * 128)
     assert r.num_steps >= 1
+
+
+def test_generate_batch_matches_single(model, rng):
+    """Batched decode must agree with per-item generation (greedy)."""
+    msgs_a = _messages(rng, n_boxes=2)
+    msgs_b = _messages(rng, n_boxes=3)
+    msgs_b[0]["content"][1]["text"] = "count the apples"
+    r_a = model.generate(msgs_a, max_new_tokens=5, max_pixels=128 * 128)
+    r_b = model.generate(msgs_b, max_new_tokens=5, max_pixels=128 * 128)
+    batch = model.generate_batch([msgs_a, msgs_b], max_new_tokens=5,
+                                 max_pixels=128 * 128)
+    np.testing.assert_array_equal(batch[0].token_ids[:len(r_a.token_ids)],
+                                  r_a.token_ids)
+    np.testing.assert_array_equal(batch[1].token_ids[:len(r_b.token_ids)],
+                                  r_b.token_ids)

@@ -392,6 +392,76 @@ class FO1Model:
         return GenerationResult(text=text, token_ids=out,
                                 prompt_len=s, num_steps=steps)
 
+    def generate_batch(
+        self,
+        messages_list: list[list[dict]],
+        max_new_tokens: int = 512,
+        temperature: float = 0.0,
+        top_p: float = 1.0,
+        seed: int = 0,
+        max_pixels: int | None = None,
+        eos_token_id: int | None = None,
+    ) -> list[GenerationResult]:
+        """Batched generation (throughput path — the reference eval loops are
+        strictly batch-1, SURVEY.md §3.4). Vision encodes run per item (jit
+        cached per geometry); prefill and the decode loop run as one batch
+        with ragged prompts right-padded to a shared bucket."""
+        cfg = self.cfg
+        preps, splices, vtoks, rtoks = [], [], [], []
+        for messages in messages_list:
+            prep = self.prepare(messages, max_pixels=max_pixels)
+            vision_tokens, _, nb, region_padded = self.encode(prep)
+            preps.append(prep)
+            splices.append((prep["splice"], nb, vision_tokens, region_padded))
+
+        pad_len = pad_to_bucket(max(s.seq_len for s, *_ in splices), 128)
+        rows = []
+        for info, nb, vision_tokens, region_padded in splices:
+            reg_pos = np.full(nb, info.seq_len, np.int32)
+            reg_pos[:len(info.region_positions)] = info.region_positions
+            rows.append(_splice_embeds(
+                self.params["text"], jnp.asarray(info.input_ids),
+                vision_tokens, jnp.asarray(info.image_positions),
+                region_padded, jnp.asarray(reg_pos), pad_len=pad_len)[0])
+        embeds = jnp.stack(rows)
+
+        b = len(preps)
+        seq_lens = np.array([s.seq_len for s, *_ in splices], np.int32)
+        pos = np.zeros((3, b, pad_len), np.int32)
+        for i, prep in enumerate(preps):
+            pos[:, i, :seq_lens[i]] = prep["position_ids"][:, 0]
+        deltas = np.array([int(p["rope_deltas"][0, 0]) for p in preps],
+                          np.int32)
+
+        cache_len = pad_len + max_new_tokens
+        cache, first_logits = prefill(
+            self.params["text"], cfg.text, embeds, jnp.asarray(pos),
+            jnp.asarray(seq_lens), cache_len=cache_len)
+
+        eos = cfg.eos_token_id if eos_token_id is None else eos_token_id
+        gen_cfg = GenerationConfig(
+            max_new_tokens=max_new_tokens, temperature=temperature,
+            top_p=top_p, eos_token_id=eos, pad_token_id=cfg.pad_token_id)
+        tokens, steps = decode_loop(
+            self.params["text"], cfg.text, gen_cfg, cache, first_logits,
+            jnp.asarray(seq_lens), jnp.asarray(deltas),
+            jax.random.PRNGKey(seed), prompt_pad=pad_len)
+        tokens = np.asarray(tokens)
+        steps = int(steps)
+
+        results = []
+        for i in range(b):
+            row = tokens[i, :steps]
+            out = row
+            if eos in out.tolist():
+                out = out[:out.tolist().index(eos)]
+            text = decode_to_text(self.tokenizer, row, eos) \
+                if self.tokenizer else ""
+            results.append(GenerationResult(
+                text=text, token_ids=out, prompt_len=int(seq_lens[i]),
+                num_steps=steps))
+        return results
+
     def _decode_streaming(self, cache, first_logits, seq_len, delta, gen_cfg,
                           streamer):
         """Host-driven step decode that invokes `streamer(text_so_far)` after

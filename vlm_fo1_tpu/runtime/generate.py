@@ -81,7 +81,7 @@ def _sample(logits, temperature, top_p, key):
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("cfg", "gen_cfg"),
+@partial(jax.jit, static_argnames=("cfg", "gen_cfg", "prompt_pad"),
          donate_argnames=("kv_cache",))
 def decode_loop(
     params: dict,
@@ -89,11 +89,17 @@ def decode_loop(
     gen_cfg: GenerationConfig,
     kv_cache: dict,
     first_logits: jnp.ndarray,  # [B, V] from prefill
-    seq_lens: jnp.ndarray,      # [B] prompt lengths (cache write offsets)
+    seq_lens: jnp.ndarray,      # [B] prompt lengths
     rope_deltas: jnp.ndarray,   # [B] (max position + 1 - prompt len)
     rng: jnp.ndarray,
+    prompt_pad: int | None = None,  # cache slot base for generated tokens;
+                                    # defaults to seq_lens[0] (B=1 fast path)
 ):
     """Autoregressive decode with early exit when every row hit EOS.
+
+    Generated tokens occupy cache slots [prompt_pad, prompt_pad+max_new);
+    rows with seq_len < prompt_pad simply mask out the gap, which makes
+    ragged-prompt batches work with uniform write offsets.
 
     Returns (tokens [B, max_new] int32 — padded with pad_token_id after EOS,
     num_steps int32).
@@ -101,7 +107,6 @@ def decode_loop(
     b = first_logits.shape[0]
     cache_len = kv_cache["k"].shape[2]
     max_new = gen_cfg.max_new_tokens
-    d_model = params["embed_tokens"]["w"].shape[1]
 
     def body(state):
         cache, tokens, cur, step, done, key = state
@@ -113,10 +118,15 @@ def decode_loop(
         pos = (seq_lens + rope_deltas + step - 1)[None, :, None]  # [1, B, 1]
         pos = jnp.broadcast_to(pos, (3, b, 1))
         cos, sin = llm.mrope_cos_sin(pos, cfg)
-        write_at = seq_lens[0] + step - 1  # uniform-offset batches (B=1 serving)
         k_pos = jnp.arange(cache_len)[None, None, None, :]
-        mask = k_pos <= write_at
-        mask = jnp.broadcast_to(mask, (b, 1, 1, cache_len))
+        if prompt_pad is None:
+            write_at = seq_lens[0] + step - 1
+            mask = jnp.broadcast_to(k_pos <= write_at, (b, 1, 1, cache_len))
+        else:
+            write_at = prompt_pad + step - 1
+            in_prompt = k_pos < seq_lens[:, None, None, None]
+            in_gen = (k_pos >= prompt_pad) & (k_pos <= write_at)
+            mask = in_prompt | in_gen
         hidden, cache = llm.text_forward(params, cfg, emb, cos, sin, mask,
                                          kv_cache=cache,
                                          cache_offset=write_at)
