@@ -87,11 +87,17 @@ def main():
     # int8 trunk (the load_8bit serving config) is the default on this
     # device: the tunneled chip slice refuses executions with the full bf16
     # residency (~8.3GB); int8 halves trunk bytes and speeds up decode.
-    quant = os.environ.get("BENCH_QUANT", "int8")
-    if quant == "int8" and preset != "tiny":
-        from vlm_fo1_tpu.quant import quantize_params
+    quant = os.environ.get("BENCH_QUANT", "int8-all")
+    if quant.startswith("int8") and preset != "tiny":
+        from vlm_fo1_tpu.quant import (
+            ALL_QUANT_PATTERNS,
+            DEFAULT_QUANT_PATTERNS,
+            quantize_params,
+        )
 
-        model.params = quantize_params(model.params)
+        pats = (ALL_QUANT_PATTERNS if quant == "int8-all"
+                else DEFAULT_QUANT_PATTERNS)
+        model.params = quantize_params(model.params, pats)
 
     img_path = "/root/reference/demo/demo_image.jpg"
     if not os.path.exists(img_path):

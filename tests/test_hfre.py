@@ -178,3 +178,32 @@ def test_per_level_roi_equals_concat_roi(rng):
                                     cfg.aux_spatial_scale,
                                     cfg.roi_sampling_ratio))
     np.testing.assert_allclose(per_level, ref, atol=1e-5)
+
+
+def test_feature_map_pos_embedding(rng):
+    cfg = HFREConfig(**{**_toy_cfg().__dict__,
+                        "pos_embedding_strategy": "feature_map_based"})
+    maps = [jnp.asarray(rng.standard_normal((24, 24, 4)).astype(np.float32)),
+            jnp.asarray(rng.standard_normal((12, 12, 12)).astype(np.float32))]
+    vt = jnp.asarray(rng.standard_normal((10, 12, 8)).astype(np.float32))
+    ba = jnp.asarray(np.array([[4.0, 4.0, 40.0, 40.0]], np.float32))
+    bv = jnp.asarray(np.array([[10.0, 10.0, 80.0, 80.0]], np.float32))
+    out = hfre_forward({}, cfg, maps, ba, vt, bv)
+    assert out.shape == (1, 24)
+    assert np.isfinite(np.asarray(out)).all()
+    # differs from the no-pos path
+    cfg_np = HFREConfig(**{**cfg.__dict__, "apply_position_embedding": False})
+    base = hfre_forward({}, cfg_np, maps, ba, vt, bv)
+    assert np.abs(np.asarray(out) - np.asarray(base)).max() > 1e-5
+
+
+def test_sep_pos_combination(rng):
+    cfg = HFREConfig(**{**_toy_cfg().__dict__,
+                        "region_feature_combination": "concat_sep_pos"})
+    maps = [jnp.asarray(rng.standard_normal((24, 24, 16)).astype(np.float32))]
+    vt = jnp.asarray(rng.standard_normal((10, 12, 8)).astype(np.float32))
+    ba = jnp.asarray(np.array([[4.0, 4.0, 40.0, 40.0]], np.float32))
+    bv = jnp.asarray(np.array([[10.0, 10.0, 80.0, 80.0]], np.float32))
+    out = hfre_forward({}, cfg, maps, ba, vt, bv)
+    assert out.shape == (1, 24)
+    assert np.isfinite(np.asarray(out)).all()

@@ -56,6 +56,40 @@ def gen_sineembed_for_position(pos: jnp.ndarray, dim_feats: int) -> jnp.ndarray:
     return jnp.concatenate([embed(cy), embed(cx), embed(w), embed(h)], axis=-1)
 
 
+def generate_2d_position_embedding(height: int, width: int, dim: int):
+    """2D sine/cos positional encoding [H, W, dim] (reference
+    hybrid...:11-53): per axis, normalized coords scaled by 2*pi over a
+    quarter-dim frequency bank, ordered (y-block, x-block)."""
+    quarter = dim // 4
+    y = jnp.arange(height, dtype=jnp.float32) / height
+    x = jnp.arange(width, dtype=jnp.float32) / width
+    yg, xg = jnp.meshgrid(y, x, indexing="ij")
+    scale = 2 * jnp.pi
+    if quarter > 0:
+        dim_t = 10000.0 ** (2 * (jnp.arange(quarter, dtype=jnp.float32) // 2)
+                            / quarter)
+    else:
+        dim_t = jnp.asarray([1.0], jnp.float32)
+
+    def embed(grid):
+        f = grid[..., None] * scale / dim_t
+        return jnp.stack([jnp.sin(f), jnp.cos(f)], axis=-1).reshape(
+            height, width, -1)
+
+    return jnp.concatenate([embed(yg), embed(xg)], axis=-1)
+
+
+def _apply_feature_map_pos(aux_maps: list, cfg: HFREConfig):
+    """Add 2D positional encodings to each aux level (strategies
+    feature_map_based / hybrid, reference hybrid...:205-228, 327-335)."""
+    out = []
+    for m in aux_maps:
+        h, w, c = m.shape
+        pe = generate_2d_position_embedding(h, w, c)
+        out.append(m + pe[..., :c].astype(m.dtype))
+    return out
+
+
 def _xyxy_to_normalized_cxcywh(boxes: jnp.ndarray, img_w: float, img_h: float):
     x1 = boxes[:, 0] / img_w
     y1 = boxes[:, 1] / img_h
@@ -120,6 +154,10 @@ def hfre_forward(
         return out
 
     if isinstance(aux_maps, (list, tuple)):
+        if (cfg.apply_position_embedding
+                and cfg.pos_embedding_strategy in ("feature_map_based",
+                                                   "hybrid")):
+            aux_maps = _apply_feature_map_pos(list(aux_maps), cfg)
         h0, w0 = aux_maps[0].shape[:2]
         aux_feat = roi_align_aux_levels(aux_maps, aux_boxes, cfg)
     else:
@@ -141,6 +179,24 @@ def hfre_forward(
             out = jnp.concatenate([aux_feat, vt_feat], axis=-1)
         elif comb in ("mean", "mean_aux_pos"):
             out = (aux_feat + vt_feat) / 2
+        elif comb in ("concat_sep_pos", "mean_sep_pos",
+                      "concat_sep_no_vt_pos", "mean_sep_no_vt_pos"):
+            # separate position embeddings per path (reference
+            # hybrid...:384-432): aux uses aux boxes at 2880//4 feats; vt
+            # (unless *_no_vt_pos) uses vt boxes at its own dim
+            aux_img_w = w0 / cfg.aux_spatial_scale
+            aux_img_h = h0 / cfg.aux_spatial_scale
+            aux_pos = _xyxy_to_normalized_cxcywh(
+                aux_boxes.astype(jnp.float32), aux_img_w, aux_img_h)
+            aux_feat = aux_feat + gen_sineembed_for_position(
+                aux_pos, aux_feat.shape[-1] // 4)
+            if comb in ("concat_sep_pos", "mean_sep_pos"):
+                vt_feat = vt_feat + _vt_pos_embed(vt_map, vt_boxes, cfg,
+                                                  vt_feat.shape[-1] // 4)
+            if comb.startswith("concat"):
+                out = jnp.concatenate([aux_feat, vt_feat], axis=-1)
+            else:
+                out = (aux_feat + vt_feat) / 2
         else:
             raise NotImplementedError(
                 f"region_feature_combination={comb!r} not supported yet")

@@ -40,9 +40,11 @@ def linear_init(key, in_dim, out_dim, bias=True, dtype=jnp.float32, std=0.02):
 
 def linear(p, x):
     if "w_q" in p:
-        # weight-only int8: upconvert fuses into the matmul, HBM reads are
-        # 1 byte/weight (see vlm_fo1_tpu.quant)
-        y = jnp.dot(x, p["w_q"].astype(x.dtype))
+        # weight-only int8: XLA TPU supports mixed bf16 x int8 dots natively,
+        # so weights stream from HBM at 1 byte each with no converted copy
+        y = jax.lax.dot_general(
+            x, p["w_q"], (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=x.dtype)
         y = y * p["scale"].astype(x.dtype)
     else:
         y = jnp.dot(x, p["w"])

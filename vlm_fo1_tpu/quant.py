@@ -37,6 +37,13 @@ DEFAULT_QUANT_PATTERNS = (
     r"text/lm_head$",
 )
 
+ALL_QUANT_PATTERNS = DEFAULT_QUANT_PATTERNS + (
+    # vision towers too (memory-constrained serving)
+    r"vision_tower/blocks/(window|full)/(attn|mlp)/\w+$",
+    r"vision_tower_aux/stages/\d+/blocks/\d+/(spatial|channel)/(attn|ffn)/(qkv|proj|fc1|fc2)$",
+    r"mm_projector(_aux)?/layers/\d+$",
+)
+
 
 def quantize_params(params, patterns=DEFAULT_QUANT_PATTERNS):
     """Quantize every linear whose tree path matches one of `patterns`
