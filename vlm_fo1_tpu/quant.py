@@ -47,7 +47,15 @@ ALL_QUANT_PATTERNS = DEFAULT_QUANT_PATTERNS + (
 
 def quantize_params(params, patterns=DEFAULT_QUANT_PATTERNS):
     """Quantize every linear whose tree path matches one of `patterns`
-    (matched against 'a/b/c' joined key paths of the dict holding "w")."""
+    (matched against 'a/b/c' joined key paths of the dict holding "w").
+
+    Destructive on matched nodes: the original "w" reference is dropped as
+    soon as its int8 replacement materializes, so peak device memory stays
+    ~(full model + one layer) instead of 2x the model — the single-chip
+    runtime wedges permanently if total allocations ever overshoot its
+    physical limit."""
+    import jax
+
     compiled = [re.compile(p) for p in patterns]
 
     def walk(node, path):
@@ -56,7 +64,10 @@ def quantize_params(params, patterns=DEFAULT_QUANT_PATTERNS):
                 joined = "/".join(path)
                 if any(c.search(joined) for c in compiled) \
                         and node["w"].ndim >= 2:
-                    return quantize_linear(node)
+                    q = quantize_linear(node)
+                    jax.block_until_ready(q["w_q"])
+                    node.pop("w")  # free the full-precision leaf NOW
+                    return q
             return {k: walk(v, path + (k,)) for k, v in node.items()}
         if isinstance(node, list):
             return [walk(v, path + (str(i),)) for i, v in enumerate(node)]
