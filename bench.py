@@ -81,23 +81,29 @@ def main():
 
     cfg = FO1Config.tiny() if preset == "tiny" else FO1Config()
     dtype = jnp.bfloat16
-    model = FO1Model.random_init(cfg, seed=0, dtype=dtype,
-                                 tokenizer=_BenchTokenizer())
 
     # int8 trunk (the load_8bit serving config) is the default on this
-    # device: the tunneled chip slice refuses executions with the full bf16
-    # residency (~8.3GB); int8 halves trunk bytes and speeds up decode.
+    # device: the tunneled chip's free HBM fluctuates (shared slice) and
+    # refuses executions with the full bf16 residency (~8.3GB). Init and
+    # quantize on HOST, then ship only the final int8 tree — the TPU never
+    # sees the bf16 model or the fp32 quantization temporaries.
     quant = os.environ.get("BENCH_QUANT", "int8-all")
-    if quant.startswith("int8") and preset != "tiny":
-        from vlm_fo1_tpu.quant import (
-            ALL_QUANT_PATTERNS,
-            DEFAULT_QUANT_PATTERNS,
-            quantize_params,
-        )
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        model = FO1Model.random_init(cfg, seed=0, dtype=dtype,
+                                     tokenizer=_BenchTokenizer())
+        if quant.startswith("int8") and preset != "tiny":
+            from vlm_fo1_tpu.quant import (
+                ALL_QUANT_PATTERNS,
+                DEFAULT_QUANT_PATTERNS,
+                quantize_params,
+            )
 
-        pats = (ALL_QUANT_PATTERNS if quant == "int8-all"
-                else DEFAULT_QUANT_PATTERNS)
-        model.params = quantize_params(model.params, pats)
+            pats = (ALL_QUANT_PATTERNS if quant == "int8-all"
+                    else DEFAULT_QUANT_PATTERNS)
+            model.params = quantize_params(model.params, pats)
+    model.params = jax.device_put(model.params, jax.devices()[0])
+    jax.block_until_ready(model.params)
 
     img_path = "/root/reference/demo/demo_image.jpg"
     if not os.path.exists(img_path):
@@ -128,9 +134,27 @@ def main():
                            timer=timer)
         return r
 
-    # warmup / compile
+    # warmup / compile. The shared chip's free HBM fluctuates; on a
+    # transient RESOURCE_EXHAUSTED retry after a pause, then degrade the
+    # pixel budget rather than produce no number at all.
     t0 = time.time()
-    r = run_once()
+    ladder = [max_pixels, 768 * 768, 512 * 512]
+    ladder = sorted({p for p in ladder if p <= max_pixels}, reverse=True)
+    r = None
+    for px in ladder:
+        max_pixels = px
+        for attempt in range(2):
+            try:
+                r = run_once()
+                break
+            except Exception as e:  # jax.errors.JaxRuntimeError
+                if "RESOURCE_EXHAUSTED" not in str(e):
+                    raise
+                time.sleep(60)
+        if r is not None:
+            break
+    if r is None:
+        r = run_once()  # propagate the real error
     compile_s = time.time() - t0
 
     timer = StageTimer()
@@ -150,6 +174,7 @@ def main():
         "vs_baseline": None,
         "p50_latency_s": round(p50, 4),
         "decode_tokens": decode_tokens,
+        "max_pixels": max_pixels,
         "prompt_len": int(r.prompt_len),
         "preset": preset,
         "quant": quant if preset != "tiny" else "none",

@@ -4,6 +4,7 @@ analytic cases."""
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from vlm_fo1_tpu.ops.roi_align import (
@@ -82,3 +83,33 @@ def test_grad_flows(rng):
     g = jax.grad(loss)(feat)
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_matmul_formulation_equals_gather_oracle(rng):
+    """roi_align_mean (scatter-weights + MXU matmul) must match the
+    gather-formulation oracle bit-for-bit up to fp32 summation order,
+    including out-of-bounds and border-clamped boxes."""
+    from vlm_fo1_tpu.ops.roi_align import roi_align_mean_reference
+
+    feat = rng.standard_normal((24, 20, 16)).astype(np.float32)
+    boxes = np.array([
+        [2.0, 3.0, 15.0, 21.0],
+        [0.0, 0.0, 20.0, 24.0],      # full map
+        [-5.0, -5.0, 3.0, 3.0],      # partially out of bounds
+        [18.0, 22.0, 30.0, 30.0],    # mostly out of bounds
+        [5.0, 5.0, 5.4, 5.4],        # degenerate (min 1px)
+    ], np.float32)
+    got = np.asarray(roi_align_mean(jnp.asarray(feat), jnp.asarray(boxes),
+                                    7, 0.5, sampling_ratio=2))
+    want = np.asarray(roi_align_mean_reference(
+        jnp.asarray(feat), jnp.asarray(boxes), 7, 0.5, sampling_ratio=2))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+def test_matmul_formulation_grad(rng):
+    feat = jnp.asarray(rng.standard_normal((12, 12, 8)).astype(np.float32))
+    boxes = jnp.asarray(np.array([[1.0, 1.0, 9.0, 10.0]], np.float32))
+
+    g = jax.grad(lambda f: roi_align_mean(f, boxes, 7, 1.0).sum())(feat)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0

@@ -114,7 +114,13 @@ def msda_layer(
     key_padding_mask: jnp.ndarray | None = None,  # [B, S] True = pad
 ) -> jnp.ndarray:
     """Full MSDeformAttn module forward (reference ms_deform_attn.py:100-204).
-    fp32 compute path (the reference disables autocast)."""
+    fp32 compute path (the reference disables autocast).
+
+    This also covers the repo's "key-aware" variant
+    (ms_deform_attn_key_aware.py:33-130, never exported —
+    ops/modules/__init__.py:9): that class accepts a `key` argument but its
+    forward is the same query-driven offsets/weights computation as here,
+    so no separate code path is needed."""
     from vlm_fo1_tpu import nn
 
     b, lq, c = query.shape

@@ -22,6 +22,7 @@ corners clamp high (low == high at the border).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -88,7 +89,59 @@ def roi_align(
 
 def roi_align_mean(feat, boxes, output_size, spatial_scale, sampling_ratio=2):
     """ROIAlign followed by spatial mean-pool -> [N, C] (the only form the
-    HFRE consumes, hybrid...:361-363)."""
+    HFRE consumes, hybrid...:361-363).
+
+    TPU formulation: pooled ROIAlign is a *linear functional* of the feature
+    map, so instead of 4 * taps row-gathers (memory-bound, ~1.2GB of traffic
+    for 100 boxes on the 192x192x3840 aux stack) we scatter the ~78k bilinear
+    corner weights into one [N, H*W] matrix and do a single [N, H*W] @
+    [H*W, C] matmul on the MXU — the map is read exactly once. Numerically
+    identical to roi_align(...).mean((1, 2)) up to fp32 summation order."""
+    h, w, c = feat.shape
+    n, oh, ow, ns = boxes.shape[0], int(output_size), int(output_size), \
+        int(sampling_ratio)
+
+    boxes = boxes.astype(jnp.float32) * spatial_scale
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    bin_w = jnp.maximum(x2 - x1, 1.0) / ow
+    bin_h = jnp.maximum(y2 - y1, 1.0) / oh
+
+    frac = (jnp.arange(ns, dtype=jnp.float32) + 0.5) / ns
+    ys = (y1[:, None, None] + (jnp.arange(oh, dtype=jnp.float32)[None, :, None]
+                               + frac[None, None, :]) * bin_h[:, None, None])
+    xs = (x1[:, None, None] + (jnp.arange(ow, dtype=jnp.float32)[None, :, None]
+                               + frac[None, None, :]) * bin_w[:, None, None])
+    # flatten taps: [N, T] with T = oh*ns * ow*ns
+    y = jnp.broadcast_to(ys.reshape(n, oh * ns, 1), (n, oh * ns, ow * ns))
+    x = jnp.broadcast_to(xs.reshape(n, 1, ow * ns), (n, oh * ns, ow * ns))
+    y, x = y.reshape(n, -1), x.reshape(n, -1)
+
+    oob = (y < -1.0) | (y > h) | (x < -1.0) | (x > w)
+    yc = jnp.clip(y, 0.0, h - 1)
+    xc = jnp.clip(x, 0.0, w - 1)
+    y0 = jnp.floor(yc).astype(jnp.int32)
+    x0 = jnp.floor(xc).astype(jnp.int32)
+    y1i = jnp.minimum(y0 + 1, h - 1)
+    x1i = jnp.minimum(x0 + 1, w - 1)
+    ly, lx = yc - y0, xc - x0
+    hy, hx = 1.0 - ly, 1.0 - lx
+
+    tap_w = 1.0 / (oh * ow * ns * ns)
+    idx = jnp.stack([y0 * w + x0, y0 * w + x1i,
+                     y1i * w + x0, y1i * w + x1i], axis=-1)      # [N, T, 4]
+    cw = jnp.stack([hy * hx, hy * lx, ly * hx, ly * lx], axis=-1) * tap_w
+    cw = jnp.where(oob[..., None], 0.0, cw)
+
+    wmat = jnp.zeros((n, h * w), jnp.float32)
+    wmat = wmat.at[jnp.arange(n)[:, None],
+                   idx.reshape(n, -1)].add(cw.reshape(n, -1))
+    flat = feat.reshape(h * w, c).astype(jnp.float32)
+    return jax.numpy.matmul(wmat, flat, precision=jax.lax.Precision.HIGHEST)
+
+
+def roi_align_mean_reference(feat, boxes, output_size, spatial_scale,
+                             sampling_ratio=2):
+    """Gather-formulation oracle for roi_align_mean (slow path)."""
     pooled = roi_align(feat, boxes, output_size, spatial_scale, sampling_ratio)
     return pooled.mean(axis=(1, 2))
 
