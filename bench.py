@@ -88,20 +88,35 @@ def main():
     # quantize on HOST, then ship only the final int8 tree — the TPU never
     # sees the bf16 model or the fp32 quantization temporaries.
     quant = os.environ.get("BENCH_QUANT", "int8-all")
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        model = FO1Model.random_init(cfg, seed=0, dtype=dtype,
-                                     tokenizer=_BenchTokenizer())
-        if quant.startswith("int8") and preset != "tiny":
-            from vlm_fo1_tpu.quant import (
-                ALL_QUANT_PATTERNS,
-                DEFAULT_QUANT_PATTERNS,
-                quantize_params,
+    cache = os.environ.get(
+        "BENCH_PARAM_CACHE",
+        f"/root/repo/.bench_params_{preset}_{quant}.safetensors")
+    if cache and os.path.exists(cache):
+        from vlm_fo1_tpu.training.checkpointing import load_params_safetensors
+
+        model = FO1Model(cfg, load_params_safetensors(cache),
+                         tokenizer=_BenchTokenizer())
+    else:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            model = FO1Model.random_init(cfg, seed=0, dtype=dtype,
+                                         tokenizer=_BenchTokenizer())
+            if quant.startswith("int8") and preset != "tiny":
+                from vlm_fo1_tpu.quant import (
+                    ALL_QUANT_PATTERNS,
+                    DEFAULT_QUANT_PATTERNS,
+                    quantize_params,
+                )
+
+                pats = (ALL_QUANT_PATTERNS if quant == "int8-all"
+                        else DEFAULT_QUANT_PATTERNS)
+                model.params = quantize_params(model.params, pats)
+        if cache:
+            from vlm_fo1_tpu.training.checkpointing import (
+                save_params_safetensors,
             )
 
-            pats = (ALL_QUANT_PATTERNS if quant == "int8-all"
-                    else DEFAULT_QUANT_PATTERNS)
-            model.params = quantize_params(model.params, pats)
+            save_params_safetensors(cache, model.params)
     model.params = jax.device_put(model.params, jax.devices()[0])
     jax.block_until_ready(model.params)
 

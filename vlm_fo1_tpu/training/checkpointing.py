@@ -71,3 +71,30 @@ def save_params_safetensors(path: str, params) -> None:
 
     walk(params, "")
     save_file(flat, path)
+
+
+def load_params_safetensors(path: str):
+    """Inverse of save_params_safetensors: rebuild the nested pytree from
+    flat 'a.b.0.c' keys (contiguous integer keys -> list)."""
+    from safetensors.numpy import load_file
+
+    flat = load_file(path)
+    root: dict = {}
+    for key, arr in flat.items():
+        parts = key.split(".")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = arr
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        out = {k: listify(v) for k, v in node.items()}
+        if out and all(k.isdigit() for k in out):
+            idxs = sorted(int(k) for k in out)
+            if idxs == list(range(len(idxs))):
+                return [out[str(i)] for i in idxs]
+        return out
+
+    return listify(root)
