@@ -142,12 +142,18 @@ def main():
 
     from vlm_fo1_tpu.runtime.profiler import StageTimer
 
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
+
     def run_once(timer=None):
         # eos < 0 never fires -> exactly decode_tokens steps every iteration
-        r = model.generate(messages, max_new_tokens=decode_tokens,
-                           max_pixels=max_pixels, eos_token_id=-1,
-                           timer=timer)
-        return r
+        if batch > 1:
+            rs = model.generate_batch([messages] * batch,
+                                      max_new_tokens=decode_tokens,
+                                      max_pixels=max_pixels, eos_token_id=-1)
+            return rs[0]
+        return model.generate(messages, max_new_tokens=decode_tokens,
+                              max_pixels=max_pixels, eos_token_id=-1,
+                              timer=timer)
 
     # warmup / compile. The shared chip's free HBM fluctuates; on a
     # transient RESOURCE_EXHAUSTED retry after a pause, then degrade the
@@ -180,7 +186,7 @@ def main():
         lat.append(time.time() - t0)
     lat = np.array(lat)
     p50 = float(np.percentile(lat, 50))
-    ips = 1.0 / float(lat.mean())
+    ips = batch / float(lat.mean())
 
     print(json.dumps({
         "metric": "images_per_sec_per_chip",
@@ -191,6 +197,7 @@ def main():
         "decode_tokens": decode_tokens,
         "max_pixels": max_pixels,
         "prompt_len": int(r.prompt_len),
+        "batch": batch,
         "preset": preset,
         "quant": quant if preset != "tiny" else "none",
         "compile_s": round(compile_s, 1),

@@ -182,3 +182,21 @@ def test_generate_batch_matches_single(model, rng):
                                   r_a.token_ids)
     np.testing.assert_array_equal(batch[1].token_ids[:len(r_b.token_ids)],
                                   r_b.token_ids)
+
+
+def test_encode_many_batched_matches_per_item(model, rng):
+    """_encode_many's same-geometry batched path must reproduce the
+    per-item encode outputs (same ViT/DaViT/HFRE programs, vmapped HFRE)."""
+    msgs_a = _messages(rng, n_boxes=2)
+    msgs_b = _messages(rng, n_boxes=4)
+    preps = [model.prepare(m, max_pixels=128 * 128) for m in (msgs_a, msgs_b)]
+    batched = model._encode_many(preps)
+
+    for prep, (info, nb, vtok, rtok) in zip(preps, batched):
+        v_ref, r_ref, nb_ref, rpad_ref = model.encode(prep)
+        np.testing.assert_allclose(np.asarray(vtok), np.asarray(v_ref),
+                                   rtol=2e-5, atol=2e-5)
+        n_real = len(info.region_positions)
+        np.testing.assert_allclose(np.asarray(rtok)[:n_real],
+                                   np.asarray(rpad_ref)[:n_real],
+                                   rtol=2e-5, atol=2e-5)

@@ -82,3 +82,35 @@ def test_adjust_bbox_clamps_and_scales():
     assert abs(x2 - 768) < 1e-6
     assert abs(y2 - 768) < 1e-6
     assert abs(y1 - 5 * 768 / 480) < 1e-6
+
+
+def test_u8_patchify_plus_device_normalize_matches_host(rng):
+    """qwen_image_patchify_u8 + the on-device /255-mean-std affine must
+    reproduce qwen_image_preprocess (host fp32 normalize) exactly."""
+    from PIL import Image
+
+    import jax.numpy as jnp
+
+    from vlm_fo1_tpu.preprocess.image import (
+        AUX_IMAGE_MEAN,
+        AUX_IMAGE_STD,
+        aux_image_preprocess,
+        aux_image_u8,
+        qwen_image_patchify_u8,
+        qwen_image_preprocess,
+        qwen_patch_norm_vectors,
+    )
+
+    img = Image.fromarray(rng.integers(0, 255, (90, 130, 3), dtype=np.uint8))
+    want, grid_w = qwen_image_preprocess(img, max_pixels=128 * 128)
+    u8, grid_u = qwen_image_patchify_u8(img, max_pixels=128 * 128)
+    assert grid_w == grid_u and u8.dtype == np.uint8
+    mean, std = qwen_patch_norm_vectors()
+    got = (np.asarray(u8, np.float32) / 255.0 - mean) / std
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    aux_w = aux_image_preprocess(img, 96)           # [C, H, W] fp32
+    aux_u = aux_image_u8(img, 96)                   # [H, W, C] uint8
+    got = ((aux_u.astype(np.float32) / 255.0 - AUX_IMAGE_MEAN)
+           / AUX_IMAGE_STD).transpose(2, 0, 1)
+    np.testing.assert_allclose(got, aux_w, atol=1e-6)

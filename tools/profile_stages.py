@@ -17,12 +17,16 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def fetch(tree):
+    """Synchronize by pulling ONE element to host (fetching a whole leaf
+    would time the tunnel transfer, not the computation)."""
     import jax
 
     leaf = jax.tree.leaves(tree)[0]
-    return np.asarray(leaf).ravel()[0]
+    return np.asarray(leaf.ravel()[:1])[0]
 
 
 def timeit(name, fn, *a, iters=10):

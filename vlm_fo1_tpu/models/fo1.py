@@ -54,16 +54,51 @@ def _round_boxes(n: int) -> int:
     return max(BOX_BUCKET, -(-n // BOX_BUCKET) * BOX_BUCKET)
 
 
+def _model_float_dtype(tree):
+    """Compute dtype of a (possibly int8-quantized) param tree: prefer a
+    half-precision float leaf if any exists (quantization scales stay fp32
+    even in a bf16 model), else fp32."""
+    dts = {jnp.dtype(leaf.dtype) for leaf in jax.tree.leaves(tree)}
+    for cand in (jnp.bfloat16, jnp.float16):
+        if jnp.dtype(cand) in dts:
+            return cand
+    return jnp.float32
+
+
+def _normalize_on_device(patches, aux_image, cfg: FO1Config, dtype):
+    """uint8 inputs carry raw pixels (half the host->device bytes of bf16):
+    apply the /255-mean-std affine here in fp32 — XLA fuses it into the
+    first matmul — then cast. Float inputs pass through (already normalized
+    on host). Dtypes are static under jit, so this is a trace-time branch."""
+    from vlm_fo1_tpu.preprocess.image import (
+        AUX_IMAGE_MEAN,
+        AUX_IMAGE_STD,
+        qwen_patch_norm_vectors,
+    )
+
+    if patches is not None and patches.dtype == jnp.uint8:
+        mean, std = qwen_patch_norm_vectors(
+            cfg.vision.patch_size, cfg.vision.temporal_patch_size)
+        x = patches.astype(jnp.float32) / 255.0
+        patches = ((x - mean) / std).astype(dtype)
+    if aux_image is not None and aux_image.dtype == jnp.uint8:
+        x = aux_image.astype(jnp.float32) / 255.0
+        aux_image = ((x - AUX_IMAGE_MEAN) / AUX_IMAGE_STD).astype(dtype)
+    return patches, aux_image
+
+
 @partial(jax.jit, static_argnames=("cfg", "num_windows", "grid"))
 def _encode_image_and_regions(
     params, cfg: FO1Config,
-    patches,              # [1, P, patch_dim]
+    patches,              # [1, P, patch_dim] (float, or uint8 raw pixels)
     rot_cos, rot_sin, valid, inv_unit_idx, inv_token_idx,
-    aux_image,            # [1, Ha, Wa, 3]
+    aux_image,            # [1, Ha, Wa, 3] (float, or uint8 raw pixels)
     aux_boxes, vt_boxes,  # [Nb, 4] (bucketed)
     *, num_windows: int, grid: tuple,
 ):
     """One compiled program for the whole vision + region path."""
+    dt = _model_float_dtype(params["vision_tower"])
+    patches, aux_image = _normalize_on_device(patches, aux_image, cfg, dt)
     tokens, captures = vit_forward(
         params["vision_tower"], cfg.vision, patches, rot_cos, rot_sin, valid,
         num_windows=num_windows, inv_unit_idx=inv_unit_idx)
@@ -82,11 +117,49 @@ def _encode_image_and_regions(
     return vision_tokens, region_tokens
 
 
+@partial(jax.jit, static_argnames=("cfg", "num_windows", "grid"))
+def _encode_image_and_regions_batched(
+    params, cfg: FO1Config,
+    patches,              # [B, P, patch_dim] — B same-geometry images
+    rot_cos, rot_sin, valid, inv_unit_idx, inv_token_idx,
+    aux_image,            # [B, Ha, Wa, 3]
+    aux_boxes, vt_boxes,  # [B, Nb, 4] (shared bucket)
+    *, num_windows: int, grid: tuple,
+):
+    """Batched encode for same-geometry images: the ViT/DaViT stacks are
+    batch-native, the HFRE (per-image ROI pooling) is vmapped over the batch.
+    The single biggest serving-throughput lever (SURVEY.md §7 step 9) — the
+    reference loops images one-by-one (qwen2_5_vl_encoder.py:228-257)."""
+    dt = _model_float_dtype(params["vision_tower"])
+    patches, aux_image = _normalize_on_device(patches, aux_image, cfg, dt)
+    tokens, captures = vit_forward(
+        params["vision_tower"], cfg.vision, patches, rot_cos, rot_sin, valid,
+        num_windows=num_windows, inv_unit_idx=inv_unit_idx)
+    vision_tokens = projector_forward(
+        params["mm_projector"], cfg.mm_projector_type, tokens)  # [B, U, D]
+
+    vt_maps = captures_to_feature_map(captures, inv_token_idx, grid,
+                                      cfg.vision.spatial_merge_size)
+    stage_maps = davit_forward(params["vision_tower_aux"], cfg.davit,
+                               aux_image)
+    hfre_p = params.get("hfre", {})
+    region_feats = jax.vmap(
+        lambda maps, ab, vm, vb: hfre_forward(hfre_p, cfg.hfre, maps, ab,
+                                              vm, vb)
+    )(stage_maps, aux_boxes, vt_maps, vt_boxes)
+    region_tokens = projector_forward(
+        params["mm_projector_aux"], cfg.mm_projector_aux_type,
+        region_feats.astype(vision_tokens.dtype))
+    return vision_tokens, region_tokens  # [B, U, D], [B, Nb, D]
+
+
 @partial(jax.jit, static_argnames=("cfg", "num_windows"))
 def _encode_image_only(params, cfg: FO1Config, patches, rot_cos, rot_sin,
                        valid, inv_unit_idx, *, num_windows: int):
     """Vision tokens for an extra (region-less) image in a multi-image
     prompt."""
+    patches, _ = _normalize_on_device(
+        patches, None, cfg, _model_float_dtype(params["vision_tower"]))
     tokens, _ = vit_forward(
         params["vision_tower"], cfg.vision, patches, rot_cos, rot_sin, valid,
         num_windows=num_windows, inv_unit_idx=inv_unit_idx,
@@ -127,6 +200,22 @@ class FO1Model:
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
+        # device-resident ViT plan arrays keyed by image grid: the rotary
+        # tables / window permutations are pure functions of the geometry,
+        # so re-uploading them every call wastes several host->device round
+        # trips per image on the (slow) tunneled link
+        self._plan_device_cache: dict = {}
+
+    def _device_plan(self, grid, plan):
+        key = tuple(int(g) for g in grid)
+        hit = self._plan_device_cache.get(key)
+        if hit is None:
+            hit = jax.device_put((
+                np.asarray(plan.rot_cos), np.asarray(plan.rot_sin),
+                np.asarray(plan.valid), np.asarray(plan.inv_unit_idx),
+                np.asarray(plan.inv_token_idx)))
+            self._plan_device_cache[key] = hit
+        return hit
 
     # ------------------------------------------------------------- init
 
@@ -215,7 +304,9 @@ class FO1Model:
                     max_pixels=max_pixels or 1024 * 1024)
                 slot_ids.append(cfg.video_token_id)
             else:
-                pv, grid = pp.qwen_image_preprocess(
+                # ship raw uint8; the /255-mean-std affine runs on device
+                # fused into patch embed (see _normalize_on_device)
+                pv, grid = pp.qwen_image_patchify_u8(
                     m, patch_size=cfg.vision.patch_size,
                     merge_size=cfg.vision.spatial_merge_size,
                     min_pixels=cfg.min_pixels,
@@ -229,7 +320,7 @@ class FO1Model:
         if first_image_idx == 0:
             img = media[0][1]
             grid = grids[0]
-            aux = pp.aux_image_preprocess(img, cfg.aux_image_size)
+            aux = pp.aux_image_u8(img, cfg.aux_image_size)
             w, h = img.size
             aux_boxes = np.asarray(
                 pp.adjust_bbox(boxes, h, w, cfg.aux_image_size,
@@ -284,16 +375,20 @@ class FO1Model:
                 [prep["aux_boxes"], np.tile(dummy, (nb - n_real, 1))])[:nb]
             vt_b = np.concatenate(
                 [prep["vt_boxes"], np.tile(dummy, (nb - n_real, 1))])[:nb]
-            patches = jnp.asarray(
-                pad_pixel_values(prep["pixel_values"], plan)[None], dtype=dt)
-            aux_img = jnp.asarray(prep["aux"].transpose(1, 2, 0)[None],
-                                  dtype=dt)
+            pv = pad_pixel_values(prep["pixel_values"], plan)[None]
+            # uint8 pixel values go up raw (normalized on device)
+            patches = jnp.asarray(pv) if pv.dtype == np.uint8 \
+                else jnp.asarray(pv, dtype=dt)
+            aux = prep["aux"]
+            if aux.dtype == np.uint8:          # already [H, W, C]
+                aux_img = jnp.asarray(aux[None])
+            else:                              # host-normalized [C, H, W]
+                aux_img = jnp.asarray(aux.transpose(1, 2, 0)[None], dtype=dt)
+            rot_cos, rot_sin, valid, inv_u, inv_t = self._device_plan(
+                prep["grid"], plan)
             vision_tokens, region_tokens = _encode_image_and_regions(
-                self.params, cfg, patches,
-                jnp.asarray(plan.rot_cos), jnp.asarray(plan.rot_sin),
-                jnp.asarray(plan.valid), jnp.asarray(plan.inv_unit_idx),
-                jnp.asarray(plan.inv_token_idx), aux_img,
-                jnp.asarray(aux_b), jnp.asarray(vt_b),
+                self.params, cfg, patches, rot_cos, rot_sin, valid, inv_u,
+                inv_t, aux_img, jnp.asarray(aux_b), jnp.asarray(vt_b),
                 num_windows=plan.num_windows, grid=prep["grid"])
             rest = zip(prep["pixel_values_list"][1:], prep["plans"][1:])
         else:
@@ -306,12 +401,14 @@ class FO1Model:
             rest = zip(prep["pixel_values_list"], prep["plans"])
 
         extra = []
-        for pv, pl_i in rest:
+        grids_rest = (prep["grids"][1:] if first_is_image else prep["grids"])
+        for (pv, pl_i), g_i in zip(rest, grids_rest):
+            rc, rs, va, iu, _ = self._device_plan(g_i, pl_i)
+            pv_p = pad_pixel_values(pv, pl_i)[None]
+            pv_d = jnp.asarray(pv_p) if pv_p.dtype == np.uint8 \
+                else jnp.asarray(pv_p, dtype=dt)
             extra.append(_encode_image_only(
-                self.params, cfg,
-                jnp.asarray(pad_pixel_values(pv, pl_i)[None], dtype=dt),
-                jnp.asarray(pl_i.rot_cos), jnp.asarray(pl_i.rot_sin),
-                jnp.asarray(pl_i.valid), jnp.asarray(pl_i.inv_unit_idx),
+                self.params, cfg, pv_d, rc, rs, va, iu,
                 num_windows=pl_i.num_windows))
         if vision_tokens is None:
             vision_tokens = jnp.concatenate(extra, axis=0)
@@ -392,6 +489,50 @@ class FO1Model:
         return GenerationResult(text=text, token_ids=out,
                                 prompt_len=s, num_steps=steps)
 
+    def _encode_many(self, preps: list[dict]):
+        """Encode a list of prepared inputs, batching same-geometry
+        single-image items through one _encode_image_and_regions_batched
+        call. Returns per-item (splice, nb, vision_tokens, region_padded)."""
+        batchable = (
+            len(preps) > 1
+            and all(p.get("first_is_image", True) and len(p["plans"]) == 1
+                    for p in preps)
+            and len({tuple(int(g) for g in p["grid"])
+                     for p in preps}) == 1)
+        if not batchable:
+            out = []
+            for p in preps:
+                vision_tokens, _, nb, region_padded = self.encode(p)
+                out.append((p["splice"], nb, vision_tokens, region_padded))
+            return out
+        cfg = self.cfg
+        plan = preps[0]["plan"]
+        grid = preps[0]["grid"]
+        dt = _model_float_dtype(self.params["vision_tower"])
+        nb = _round_boxes(max(max(len(p["aux_boxes"]) for p in preps), 1))
+        dummy = np.array([[0.0, 10.0, 0.0, 10.0]], np.float32)
+
+        def padded(b):
+            return np.concatenate([b, np.tile(dummy, (nb - len(b), 1))])[:nb]
+
+        patches = np.stack([pad_pixel_values(p["pixel_values"], plan)
+                            for p in preps])
+        aux = np.stack([p["aux"] if p["aux"].dtype == np.uint8
+                        else p["aux"].transpose(1, 2, 0) for p in preps])
+        aux_b = np.stack([padded(p["aux_boxes"]) for p in preps])
+        vt_b = np.stack([padded(p["vt_boxes"]) for p in preps])
+        rot_cos, rot_sin, valid, inv_u, inv_t = self._device_plan(grid, plan)
+        patches_d = jnp.asarray(patches) if patches.dtype == np.uint8 \
+            else jnp.asarray(patches, dtype=dt)
+        aux_d = jnp.asarray(aux) if aux.dtype == np.uint8 \
+            else jnp.asarray(aux, dtype=dt)
+        vtok, rtok = _encode_image_and_regions_batched(
+            self.params, cfg, patches_d, rot_cos, rot_sin, valid, inv_u,
+            inv_t, aux_d, jnp.asarray(aux_b), jnp.asarray(vt_b),
+            num_windows=plan.num_windows, grid=grid)
+        return [(p["splice"], nb, vtok[i], rtok[i])
+                for i, p in enumerate(preps)]
+
     def generate_batch(
         self,
         messages_list: list[list[dict]],
@@ -407,12 +548,9 @@ class FO1Model:
         cached per geometry); prefill and the decode loop run as one batch
         with ragged prompts right-padded to a shared bucket."""
         cfg = self.cfg
-        preps, splices, vtoks, rtoks = [], [], [], []
-        for messages in messages_list:
-            prep = self.prepare(messages, max_pixels=max_pixels)
-            vision_tokens, _, nb, region_padded = self.encode(prep)
-            preps.append(prep)
-            splices.append((prep["splice"], nb, vision_tokens, region_padded))
+        preps = [self.prepare(messages, max_pixels=max_pixels)
+                 for messages in messages_list]
+        splices = self._encode_many(preps)
 
         pad_len = pad_to_bucket(max(s.seq_len for s, *_ in splices), 128)
         rows = []

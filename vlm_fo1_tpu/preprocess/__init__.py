@@ -5,8 +5,11 @@ from vlm_fo1_tpu.preprocess.image import (  # noqa: F401
     resize_shortest_edge_images_and_bboxes,
     adjust_bbox,
     qwen_image_preprocess,
+    qwen_image_patchify_u8,
+    qwen_patch_norm_vectors,
     qwen_video_preprocess,
     aux_image_preprocess,
+    aux_image_u8,
 )
 from vlm_fo1_tpu.preprocess.windowing import ViTPlan, build_vit_plan  # noqa: F401
 from vlm_fo1_tpu.preprocess.mrope import get_rope_index  # noqa: F401

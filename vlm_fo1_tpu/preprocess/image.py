@@ -242,3 +242,56 @@ def aux_image_preprocess(image: Image.Image, image_size: int = 768) -> np.ndarra
 
     arr = _normalize(raw, AUX_IMAGE_MEAN, AUX_IMAGE_STD)
     return arr.transpose(2, 0, 1)
+
+
+# ------------------------------------------------------------------ uint8
+# Device-side normalization path: ship raw uint8 over the (slow) host->TPU
+# link — half the bytes of bf16, a quarter of fp32 — and fold the
+# /255-mean-std affine into the first on-device op, where XLA fuses it into
+# the patch-embed matmul. Numerics are identical to the host path (the
+# normalize still happens in fp32 before any bf16 cast).
+
+def qwen_patch_norm_vectors(patch_size: int = 14, temporal_patch_size: int = 2):
+    """Per-position mean/std over the flattened patch row layout
+    [c, t, ph, pw] (channel-major), for normalizing uint8 pixel_values on
+    device."""
+    reps = temporal_patch_size * patch_size * patch_size
+    return (np.repeat(QWEN_IMAGE_MEAN, reps),
+            np.repeat(QWEN_IMAGE_STD, reps))
+
+
+def qwen_image_patchify_u8(
+    image: Image.Image,
+    patch_size: int = 14,
+    merge_size: int = 2,
+    temporal_patch_size: int = 2,
+    min_pixels: int = 56 * 56,
+    max_pixels: int = 2048 * 2048,
+):
+    """qwen_image_preprocess without the normalize: returns uint8
+    pixel_values [grid_h*grid_w, C*T*p*p] in the same row layout, plus
+    grid_thw. Normalize on device with qwen_patch_norm_vectors."""
+    h_bar, w_bar = smart_resize(
+        image.height, image.width, factor=patch_size * merge_size,
+        min_pixels=min_pixels, max_pixels=max_pixels)
+    img = image.resize((w_bar, h_bar), Image.Resampling.BICUBIC)
+    chw = np.asarray(img, np.uint8).transpose(2, 0, 1)
+
+    frames = np.broadcast_to(chw, (temporal_patch_size, *chw.shape))
+    grid_h, grid_w = h_bar // patch_size, w_bar // patch_size
+    c = chw.shape[0]
+    patches = frames.reshape(
+        1, temporal_patch_size, c,
+        grid_h // merge_size, merge_size, patch_size,
+        grid_w // merge_size, merge_size, patch_size,
+    ).transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
+    pixel_values = np.ascontiguousarray(patches).reshape(
+        grid_h * grid_w, c * temporal_patch_size * patch_size * patch_size)
+    return pixel_values, (1, grid_h, grid_w)
+
+
+def aux_image_u8(image: Image.Image, image_size: int = 768) -> np.ndarray:
+    """aux_image_preprocess without the normalize: uint8 [H, W, C]
+    channel-last (normalize on device with AUX_IMAGE_MEAN/STD)."""
+    img = image.resize((image_size, image_size), Image.Resampling.BICUBIC)
+    return np.asarray(img, np.uint8)
