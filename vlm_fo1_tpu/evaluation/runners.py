@@ -39,27 +39,41 @@ def extract_count(outputs: str) -> int:
 
 def eval_countbench(model, data_path: str, image_path: str,
                     max_items: int | None = None, max_new_tokens: int = 4096,
-                    verbose: bool = True) -> dict:
+                    verbose: bool = True, batch_size: int = 1) -> dict:
     """Exact-match counting accuracy. Returns summary dict with per-item
-    predictions."""
+    predictions.
+
+    batch_size > 1 runs generate_batch over chunks (ragged prompts share a
+    prefill bucket; same-geometry images share one encode) — the throughput
+    path the reference's batch-1 loop lacks (eval_countbench.py:22-65)."""
     with open(data_path) as f:
         data = json.load(f)
     if max_items:
         data = data[:max_items]
 
     preds, gts, latencies = [], [], []
-    for item in data:
-        msgs = _build_messages(os.path.join(image_path, item["image"]),
-                               item["question"], item["bboxes"])
+    for start in range(0, len(data), batch_size):
+        chunk = data[start:start + batch_size]
+        msgs_list = [
+            _build_messages(os.path.join(image_path, item["image"]),
+                            item["question"], item["bboxes"])
+            for item in chunk]
         t0 = time.time()
-        result = model.generate(msgs, max_new_tokens=max_new_tokens,
-                                top_p=0.05, temperature=0.0)
-        latencies.append(time.time() - t0)
-        pred = extract_count(result.text)
-        preds.append(pred)
-        gts.append(item["answer"])
-        if verbose and pred != item["answer"]:
-            print(f"gt={item['answer']} pred_text={result.text[:120]!r}")
+        if batch_size == 1:
+            results = [model.generate(msgs_list[0],
+                                      max_new_tokens=max_new_tokens,
+                                      top_p=0.05, temperature=0.0)]
+        else:
+            results = model.generate_batch(msgs_list,
+                                           max_new_tokens=max_new_tokens,
+                                           top_p=0.05, temperature=0.0)
+        latencies.extend([(time.time() - t0) / len(chunk)] * len(chunk))
+        for item, result in zip(chunk, results):
+            pred = extract_count(result.text)
+            preds.append(pred)
+            gts.append(item["answer"])
+            if verbose and pred != item["answer"]:
+                print(f"gt={item['answer']} pred_text={result.text[:120]!r}")
 
     correct = sum(1 for p, g in zip(preds, gts) if p == g)
     acc = correct / len(preds) if preds else 0.0
@@ -71,9 +85,10 @@ def eval_countbench(model, data_path: str, image_path: str,
 def eval_coco(model, eval_data_path: str, original_data_path: str,
               img_folder: str, out_path: str,
               max_items: int | None = None,
-              max_new_tokens: int = 4096) -> list[dict]:
+              max_new_tokens: int = 4096, batch_size: int = 1) -> list[dict]:
     """Per-image generation with precomputed UPN proposals -> COCO-format
-    detection records (confidence = proposal score)."""
+    detection records (confidence = proposal score, reference
+    eval_coco.py:69-85). batch_size > 1 uses generate_batch per chunk."""
     data_list = []
     with open(eval_data_path) as f:
         for line in f:
@@ -86,34 +101,48 @@ def eval_coco(model, eval_data_path: str, original_data_path: str,
     cat_to_id = {c["name"]: c["id"] for c in original["categories"]}
 
     res_list = []
-    for data in data_list:
-        image_id = data["id"]
-        bbox_list = data["bbox_list"]
-        score_list = data["score_list"]
-        query = data["conversations"][0]["value"]
-        msgs = _build_messages(os.path.join(img_folder, data["image"]),
-                               query, bbox_list)
+    for start in range(0, len(data_list), batch_size):
+        chunk = data_list[start:start + batch_size]
         try:
-            result = model.generate(msgs, max_new_tokens=max_new_tokens,
-                                    top_p=0.05, temperature=0.0)
+            msgs_list = [
+                _build_messages(os.path.join(img_folder, d["image"]),
+                                d["conversations"][0]["value"],
+                                d["bbox_list"])
+                for d in chunk]
+            if batch_size == 1:
+                results = [model.generate(msgs_list[0],
+                                          max_new_tokens=max_new_tokens,
+                                          top_p=0.05, temperature=0.0)]
+            else:
+                results = model.generate_batch(
+                    msgs_list, max_new_tokens=max_new_tokens,
+                    top_p=0.05, temperature=0.0)
         except Exception as e:  # keep the sweep alive (reference :60-65)
-            print(f"error on {image_id}: {e}")
+            print(f"error on batch at {start}: {e}")
             continue
-        for label, idxs in extract_predictions_to_indexes(result.text).items():
-            if label not in cat_to_id:
-                continue
-            for i in idxs:
-                if not 0 <= i < len(bbox_list):
-                    continue
-                x1, y1, x2, y2 = bbox_list[i]
-                res_list.append({
-                    "image_id": image_id,
-                    "category_id": cat_to_id[label],
-                    "bbox": [x1, y1, x2 - x1, y2 - y1],
-                    "score": score_list[i],
-                })
+        for data, result in zip(chunk, results):
+            _collect_coco_records(data, result, cat_to_id, res_list)
 
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     with open(out_path, "w") as f:
         json.dump(res_list, f)
     return res_list
+
+
+def _collect_coco_records(data, result, cat_to_id, res_list):
+    image_id = data["id"]
+    bbox_list = data["bbox_list"]
+    score_list = data["score_list"]
+    for label, idxs in extract_predictions_to_indexes(result.text).items():
+        if label not in cat_to_id:
+            continue
+        for i in idxs:
+            if not 0 <= i < len(bbox_list):
+                continue
+            x1, y1, x2, y2 = bbox_list[i]
+            res_list.append({
+                "image_id": image_id,
+                "category_id": cat_to_id[label],
+                "bbox": [x1, y1, x2 - x1, y2 - y1],
+                "score": score_list[i],
+            })
