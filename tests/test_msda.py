@@ -100,3 +100,30 @@ def test_msda_layer_shapes_and_reference_points(rng):
     np.testing.assert_allclose(np.asarray(out_masked),
                                np.broadcast_to(bias, out_masked.shape),
                                atol=1e-6)
+
+
+def test_patch_gather_core_matches_row_gather_oracle(rng):
+    """The production 2x2-patch-gather core vs the 4x row-gather oracle,
+    including out-of-bounds and border windows."""
+    from vlm_fo1_tpu.ops.msda import (
+        ms_deform_attn_core,
+        ms_deform_attn_core_reference,
+    )
+
+    shapes = ((6, 8), (3, 4))
+    s = sum(h * w for h, w in shapes)
+    b, lq, m, p, d = 2, 10, 2, 3, 4
+    value = jnp.asarray(rng.standard_normal((b, s, m, d)).astype(np.float32))
+    loc = jnp.asarray(rng.uniform(-0.3, 1.3, (b, lq, m, len(shapes), p, 2))
+                      .astype(np.float32))
+    w = jax.nn.softmax(jnp.asarray(
+        rng.standard_normal((b, lq, m, len(shapes) * p)).astype(np.float32))
+    ).reshape(b, lq, m, len(shapes), p)
+    got = np.asarray(ms_deform_attn_core(value, shapes, loc, w))
+    want = np.asarray(ms_deform_attn_core_reference(value, shapes, loc, w))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+    # gradients flow through the patch gather (scatter-add transpose)
+    g = jax.grad(lambda v: ms_deform_attn_core(v, shapes, loc, w).sum())(value)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0

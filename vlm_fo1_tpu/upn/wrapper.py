@@ -30,6 +30,10 @@ BUCKET = 128
 
 @partial(jax.jit, static_argnames=("cfg", "swin_cfg", "prompt"))
 def _jit_forward(params, cfg, swin_cfg, image, valid_hw, prompt):
+    # match the model's compute dtype (bf16 serving): image arrives fp32
+    dts = {jnp.dtype(l.dtype) for l in jax.tree.leaves(params)}
+    if jnp.dtype(jnp.bfloat16) in dts:
+        image = image.astype(jnp.bfloat16)
     return upn_forward(params, cfg, swin_cfg, image, valid_hw, prompt)
 
 
