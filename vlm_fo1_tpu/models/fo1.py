@@ -434,12 +434,18 @@ class FO1Model:
         from vlm_fo1_tpu.runtime.profiler import StageTimer
 
         cfg = self.cfg
+        # mid-pipeline device syncs exist only for stage profiling: each
+        # synchronized dispatch costs a full ~26ms host<->device round trip
+        # on the tunneled link, so without a caller timer everything stays
+        # async until the final token fetch
+        profiling = timer is not None
         timer = timer or StageTimer()
         with timer.stage("prepare"):
             prep = self.prepare(messages, max_pixels=max_pixels)
         with timer.stage("encode"):
             vision_tokens, region_tokens, nb, region_padded = self.encode(prep)
-            jax.block_until_ready(vision_tokens)
+            if profiling:
+                jax.block_until_ready(vision_tokens)
 
         info: SpliceInfo = prep["splice"]
         s = info.seq_len
@@ -460,7 +466,8 @@ class FO1Model:
             cache, first_logits = prefill(
                 self.params["text"], cfg.text, embeds, jnp.asarray(pos),
                 jnp.asarray([s]), cache_len=cache_len)
-            jax.block_until_ready(first_logits)
+            if profiling:
+                jax.block_until_ready(first_logits)
 
         eos = cfg.eos_token_id if eos_token_id is None else eos_token_id
         gen_cfg = GenerationConfig(
@@ -478,7 +485,8 @@ class FO1Model:
                     first_logits, jnp.asarray([s]),
                     jnp.asarray(prep["rope_deltas"][:, 0]),
                     jax.random.PRNGKey(seed))
-                jax.block_until_ready(tokens)
+                if profiling:
+                    jax.block_until_ready(tokens)
         tokens = np.asarray(tokens)[0]
         steps = int(steps)
         out = tokens[:steps]
