@@ -22,35 +22,9 @@ import time
 import numpy as np
 
 
-class _BenchTokenizer:
-    """Minimal ChatML-aware tokenizer (the released Qwen tokenizer files are
-    not on this machine; token *ids* don't affect throughput)."""
-
-    SPECIALS = {"<|im_start|>": 151644, "<|im_end|>": 151645,
-                "<|vision_start|>": 151652, "<|vision_end|>": 151653,
-                "<|image_pad|>": 151655}
-
-    def encode(self, text):
-        import re
-
-        pattern = "(" + "|".join(re.escape(s) for s in self.SPECIALS) + ")"
-        ids = []
-        for part in re.split(pattern, text):
-            if part in self.SPECIALS:
-                ids.append(self.SPECIALS[part])
-            else:
-                ids.extend(min(ord(c), 150000) for c in part)
-        return ids
-
-    def __call__(self, text):
-        class _O:
-            def __init__(s, i):
-                s.input_ids = i
-
-        return _O(self.encode(text))
-
-    def decode(self, ids, **kw):
-        return "".join(chr(i) if i < 0x110000 else "?" for i in ids)
+from vlm_fo1_tpu.runtime.fallback_tokenizer import (  # noqa: E402
+    FallbackTokenizer as _BenchTokenizer,
+)
 
 
 def _enable_compile_cache():

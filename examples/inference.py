@@ -5,6 +5,10 @@ TPU-native equivalent of the reference demo (/root/reference/inference.py):
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from PIL import Image
 
@@ -18,8 +22,10 @@ from vlm_fo1_tpu.task_templates import OD_template
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model-path", required=True,
+    ap.add_argument("--model-path", default=None,
                     help="checkpoint dir (config.json + safetensors)")
+    ap.add_argument("--random-init", choices=["tiny", "3b"], default=None,
+                    help="run with random weights (no checkpoint needed)")
     ap.add_argument("--image", default="/root/reference/demo/demo_image.jpg")
     ap.add_argument("--target", default="orange")
     ap.add_argument("--output", default="fo1_result.jpg")
@@ -40,13 +46,28 @@ def main():
         "bbox_list": bbox_list,
     }]
 
-    tokenizer, model, image_processors = load_pretrained_model(args.model_path)
-    kwargs = prepare_inputs(args.model_path, model, image_processors,
-                            tokenizer, messages, max_tokens=4096,
-                            top_p=0.05, temperature=0.0)
-    output_ids = model.generate(**kwargs)
-    outputs = tokenizer.decode(
-        output_ids[0, kwargs["inputs"].shape[1]:]).strip()
+    if args.random_init:
+        from vlm_fo1_tpu.config import FO1Config
+        from vlm_fo1_tpu.models.fo1 import FO1Model
+        from vlm_fo1_tpu.runtime.fallback_tokenizer import FallbackTokenizer
+
+        cfg = (FO1Config.tiny() if args.random_init == "tiny"
+               else FO1Config())
+        fo1 = FO1Model.random_init(cfg, seed=0,
+                                   tokenizer=FallbackTokenizer())
+        outputs = fo1.generate(messages, max_new_tokens=64,
+                               max_pixels=256 * 256).text.strip()
+    else:
+        if not args.model_path:
+            ap.error("--model-path or --random-init required")
+        tokenizer, model, image_processors = load_pretrained_model(
+            args.model_path)
+        kwargs = prepare_inputs(args.model_path, model, image_processors,
+                                tokenizer, messages, max_tokens=4096,
+                                top_p=0.05, temperature=0.0)
+        output_ids = model.generate(**kwargs)
+        outputs = tokenizer.decode(
+            output_ids[0, kwargs["inputs"].shape[1]:]).strip()
     print("model output:", outputs)
 
     bboxes = extract_predictions_to_bboxes(outputs, bbox_list)

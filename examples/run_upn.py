@@ -1,6 +1,10 @@
 """UPN-only proposal visualization (reference scripts/run_upn.py)."""
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from PIL import Image
 
