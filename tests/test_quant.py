@@ -76,3 +76,64 @@ def test_quantized_generate_close_to_full(rng):
     r_q = qmodel.generate(msgs, max_new_tokens=4, max_pixels=128 * 128)
     assert r_q.num_steps >= 1
     assert np.isfinite(np.asarray(r_q.token_ids)).all()
+
+
+def test_int4_pack_unpack_roundtrip(rng):
+    from vlm_fo1_tpu.quant import _quantize_weight_int4, unpack_int4
+
+    w = jnp.asarray(rng.standard_normal((8, 6)).astype(np.float32))
+    packed, scale = _quantize_weight_int4(w)
+    assert packed.shape == (4, 6) and packed.dtype == jnp.int8
+    q = np.asarray(unpack_int4(packed))
+    assert q.min() >= -8 and q.max() <= 7
+    # dequantized weights within half a quantization step
+    deq = q.astype(np.float32) * np.asarray(scale)[None, :]
+    step = np.asarray(scale)[None, :]
+    assert np.all(np.abs(deq - np.asarray(w)) <= 0.5 * step + 1e-6)
+
+
+def test_int4_linear_close_to_full_precision(rng):
+    from vlm_fo1_tpu.quant import quantize_linear_int4
+    from vlm_fo1_tpu import nn
+
+    p = {"w": jnp.asarray(rng.standard_normal((16, 8)).astype(np.float32)),
+         "b": jnp.asarray(rng.standard_normal(8).astype(np.float32))}
+    x = jnp.asarray(rng.standard_normal((3, 16)).astype(np.float32))
+    full = np.asarray(nn.linear(p, x))
+    q4 = np.asarray(nn.linear(quantize_linear_int4(dict(p)), x))
+    # int4 is coarse: per-weight error ~scale/2 over a 16-term contraction
+    # gives ~10% relative error on random weights; just bound it sanely and
+    # require it to sit between the int8 error and gross breakage
+    from vlm_fo1_tpu.quant import quantize_linear
+
+    q8 = np.asarray(nn.linear(quantize_linear(dict(p)), x))
+    denom = np.abs(full).mean() + 1e-6
+    err4 = np.abs(q4 - full).mean() / denom
+    err8 = np.abs(q8 - full).mean() / denom
+    assert err8 < err4 < 0.25, (err8, err4)
+
+
+def test_int4_generate_runs(rng):
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from conftest import StubTokenizer
+    from PIL import Image
+
+    from vlm_fo1_tpu.config import FO1Config
+    from vlm_fo1_tpu.models.fo1 import FO1Model
+    from vlm_fo1_tpu.quant import quantize_params_int4
+
+    model = FO1Model.random_init(FO1Config.tiny(), seed=0,
+                                 tokenizer=StubTokenizer())
+    model.params = quantize_params_int4(model.params)
+    assert any("w_q4" in str(p) for p in [model.params["text"]["layers"]])
+    img = Image.fromarray(rng.integers(0, 255, (96, 96, 3), dtype=np.uint8))
+    msgs = [{"role": "user", "content": [
+        {"type": "image_url", "image_url": {"url": img}},
+        {"type": "text", "text": "hello"}],
+        "bbox_list": [[3.0, 3.0, 60.0, 60.0]]}]
+    r = model.generate(msgs, max_new_tokens=4, max_pixels=128 * 128)
+    assert r.num_steps >= 1
+    assert np.isfinite(np.asarray(r.token_ids)).all()

@@ -71,14 +71,16 @@ def load_pretrained_model(model_path: str, load_8bit: bool = False,
                           load_4bit: bool = False, device: str | None = None):
     """Returns (tokenizer, model, (primary_processor, aux_processor)).
 
-    load_8bit applies weight-only int8 quantization to the LLM trunk
-    (vlm_fo1_tpu.quant — TPU-native counterpart of the reference's
-    bitsandbytes path, model/builder.py:25-27). 4-bit is not implemented.
+    load_8bit / load_4bit apply weight-only int8 / packed-int4 quantization
+    to the LLM trunk (vlm_fo1_tpu.quant — TPU-native counterparts of the
+    reference's bitsandbytes paths, model/builder.py:25-36).
     """
-    if load_4bit:
-        raise NotImplementedError("4-bit loading lands in a later round")
     model = FO1Model.from_pretrained(model_path)
-    if load_8bit:
+    if load_4bit:
+        from vlm_fo1_tpu.quant import quantize_params_int4
+
+        model.params = quantize_params_int4(model.params)
+    elif load_8bit:
         from vlm_fo1_tpu.quant import quantize_params
 
         model.params = quantize_params(model.params)

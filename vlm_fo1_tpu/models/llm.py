@@ -213,6 +213,13 @@ def lm_head_logits(params: dict, cfg: TextConfig, hidden: jnp.ndarray):
                             head["w_q"].astype(hidden.dtype),
                             preferred_element_type=jnp.float32)
         return logits * head["scale"]
+    if "w_q4" in head:
+        from vlm_fo1_tpu.quant import unpack_int4
+
+        logits = jnp.einsum("bsd,dv->bsv", hidden,
+                            unpack_int4(head["w_q4"]).astype(hidden.dtype),
+                            preferred_element_type=jnp.float32)
+        return logits * head["scale"]
     return jnp.einsum("bsd,dv->bsv", hidden, head["w"],
                       preferred_element_type=jnp.float32)
 

@@ -46,6 +46,15 @@ def linear(p, x):
             x, p["w_q"], (((x.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=x.dtype)
         y = y * p["scale"].astype(x.dtype)
+    elif "w_q4" in p:
+        # weight-only int4 (two nibbles per HBM byte); unpack = two VPU
+        # shifts fused into the dot's operand read
+        from vlm_fo1_tpu.quant import unpack_int4
+
+        y = jax.lax.dot_general(
+            x, unpack_int4(p["w_q4"]), (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=x.dtype)
+        y = y * p["scale"].astype(x.dtype)
     else:
         y = jnp.dot(x, p["w"])
     if "b" in p:

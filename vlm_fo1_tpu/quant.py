@@ -92,3 +92,65 @@ def dequantize_linear(p: dict, dtype=jnp.bfloat16) -> dict:
     if "b" in p:
         out["b"] = p["b"]
     return out
+
+
+# ------------------------------------------------------------------- int4
+# Parity for the reference's load_4bit flag (model/builder.py:28-36,
+# bitsandbytes nf4). TPU-native variant: per-output-channel symmetric int4,
+# two nibbles packed per int8 byte in HBM (the jnp.int4 dtype trips a
+# backend bug on the tunneled chip, and packing is portable anyway).
+# Unpacking is two arithmetic shifts on the VPU, fused into the consumer.
+
+@jax.jit
+def _quantize_weight_int4(w):
+    """[..., in, out] -> (uint-packed int8 [..., in//2, out], f32 scales).
+    `in` must be even (all FO1 linears are)."""
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
+    scale = jnp.maximum(amax / 7.0, 1e-8)
+    q = jnp.clip(jnp.round(wf / scale), -8, 7).astype(jnp.int8)
+    lo = q[..., 0::2, :]
+    hi = q[..., 1::2, :]
+    packed = jnp.bitwise_or(jnp.bitwise_and(lo, 0x0F),
+                            jnp.left_shift(hi, 4)).astype(jnp.int8)
+    return packed, scale.squeeze(-2)
+
+
+def unpack_int4(packed):
+    """int8 [..., in//2, out] -> int8 [..., in, out] in [-8, 7]."""
+    lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)  # sign-extend low
+    hi = jnp.right_shift(packed, 4)                      # arithmetic shift
+    stacked = jnp.stack([lo, hi], axis=-2)               # [..., in//2, 2, out]
+    return stacked.reshape(*packed.shape[:-2], -1, packed.shape[-1])
+
+
+def quantize_linear_int4(p: dict) -> dict:
+    w_q4, scale = _quantize_weight_int4(p["w"])
+    out = {"w_q4": w_q4, "scale": scale}
+    if "b" in p:
+        out["b"] = p["b"]
+    return out
+
+
+def quantize_params_int4(params, patterns=DEFAULT_QUANT_PATTERNS):
+    """Like quantize_params but 4-bit; linears with odd `in` dims are left
+    in full precision."""
+    compiled = [re.compile(p) for p in patterns]
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            if "w" in node and not isinstance(node["w"], dict):
+                joined = "/".join(path)
+                if any(c.search(joined) for c in compiled) \
+                        and node["w"].ndim >= 2 \
+                        and node["w"].shape[-2] % 2 == 0:
+                    q = quantize_linear_int4(node)
+                    jax.block_until_ready(q["w_q4"])
+                    node.pop("w")
+                    return q
+            return {k: walk(v, path + (k,)) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v, path + (str(i),)) for i, v in enumerate(node)]
+        return node
+
+    return walk(params, ())
