@@ -137,3 +137,19 @@ def test_int4_generate_runs(rng):
     r = model.generate(msgs, max_new_tokens=4, max_pixels=128 * 128)
     assert r.num_steps >= 1
     assert np.isfinite(np.asarray(r.token_ids)).all()
+
+
+@pytest.mark.parametrize("m,k,n", [(1, 32, 24), (5, 64, 48), (9, 16, 130),
+                                   (128, 64, 128)])
+def test_int4_matmul_kernel_matches_reference(rng, m, k, n):
+    """Pallas int4 matmul (interpret mode) vs the dequantize-then-dot
+    oracle, including M/N padding paths."""
+    from vlm_fo1_tpu.ops.int4_matmul import int4_matmul, int4_matmul_reference
+    from vlm_fo1_tpu.quant import _quantize_weight_int4
+
+    w = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32))
+    packed, scale = _quantize_weight_int4(w)
+    x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32))
+    got = np.asarray(int4_matmul(x, packed, scale, interpret=True))
+    want = np.asarray(int4_matmul_reference(x, packed, scale))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)

@@ -214,12 +214,10 @@ def lm_head_logits(params: dict, cfg: TextConfig, hidden: jnp.ndarray):
                             preferred_element_type=jnp.float32)
         return logits * head["scale"]
     if "w_q4" in head:
-        from vlm_fo1_tpu.quant import unpack_int4
+        from vlm_fo1_tpu import nn as _nn
 
-        logits = jnp.einsum("bsd,dv->bsv", hidden,
-                            unpack_int4(head["w_q4"]).astype(hidden.dtype),
-                            preferred_element_type=jnp.float32)
-        return logits * head["scale"]
+        # fp32 activations -> fp32 logits through the int4 dispatch
+        return _nn.linear(head, hidden.astype(jnp.float32))
     return jnp.einsum("bsd,dv->bsv", hidden, head["w"],
                       preferred_element_type=jnp.float32)
 

@@ -47,14 +47,31 @@ def linear(p, x):
             preferred_element_type=x.dtype)
         y = y * p["scale"].astype(x.dtype)
     elif "w_q4" in p:
-        # weight-only int4 (two nibbles per HBM byte); unpack = two VPU
-        # shifts fused into the dot's operand read
-        from vlm_fo1_tpu.quant import unpack_int4
+        # weight-only int4 (two nibbles per HBM byte). On TPU a Pallas
+        # kernel unpacks per-tile in VMEM (XLA would materialize the
+        # unpacked weight to HBM on every use); elsewhere fall back to the
+        # halves formulation in plain XLA.
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, x.shape[-1])
+        if jax.default_backend() == "cpu":
+            from vlm_fo1_tpu.quant import unpack_int4_halves
 
-        y = jax.lax.dot_general(
-            x, unpack_int4(p["w_q4"]), (((x.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=x.dtype)
-        y = y * p["scale"].astype(x.dtype)
+            khalf = p["w_q4"].shape[-2]
+            lo, hi = unpack_int4_halves(p["w_q4"])
+            acc = jax.lax.dot_general(
+                x2[:, :khalf], lo.astype(x.dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc += jax.lax.dot_general(
+                x2[:, khalf:], hi.astype(x.dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            y2 = (acc * p["scale"].astype(jnp.float32)).astype(x.dtype)
+        else:
+            from vlm_fo1_tpu.ops.int4_matmul import int4_matmul
+
+            y2 = int4_matmul(x2, p["w_q4"], p["scale"])
+        y = y2.reshape(*lead, y2.shape[-1])
     else:
         y = jnp.dot(x, p["w"])
     if "b" in p:

@@ -103,25 +103,36 @@ def dequantize_linear(p: dict, dtype=jnp.bfloat16) -> dict:
 
 @jax.jit
 def _quantize_weight_int4(w):
-    """[..., in, out] -> (uint-packed int8 [..., in//2, out], f32 scales).
-    `in` must be even (all FO1 linears are)."""
+    """[..., in, out] -> (nibble-packed int8 [..., in//2, out], f32 scales).
+    `in` must be even (all FO1 linears are). Packing pairs row i with row
+    i + in//2 (halves, NOT interleaved): unpacking is then a plain
+    concatenation along the contraction axis — or, better, two separate
+    dots over the x halves with no data movement at all (the layout the
+    Pallas int4 matmul kernel exploits)."""
     wf = w.astype(jnp.float32)
     amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
     scale = jnp.maximum(amax / 7.0, 1e-8)
     q = jnp.clip(jnp.round(wf / scale), -8, 7).astype(jnp.int8)
-    lo = q[..., 0::2, :]
-    hi = q[..., 1::2, :]
+    half = q.shape[-2] // 2
+    lo = q[..., :half, :]
+    hi = q[..., half:, :]
     packed = jnp.bitwise_or(jnp.bitwise_and(lo, 0x0F),
                             jnp.left_shift(hi, 4)).astype(jnp.int8)
     return packed, scale.squeeze(-2)
 
 
-def unpack_int4(packed):
-    """int8 [..., in//2, out] -> int8 [..., in, out] in [-8, 7]."""
+def unpack_int4_halves(packed):
+    """int8 [..., in//2, out] -> (lo, hi) int8 halves in [-8, 7]: the
+    unpacked weight is concat([lo, hi], axis=-2)."""
     lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)  # sign-extend low
     hi = jnp.right_shift(packed, 4)                      # arithmetic shift
-    stacked = jnp.stack([lo, hi], axis=-2)               # [..., in//2, 2, out]
-    return stacked.reshape(*packed.shape[:-2], -1, packed.shape[-1])
+    return lo, hi
+
+
+def unpack_int4(packed):
+    """int8 [..., in//2, out] -> int8 [..., in, out] in [-8, 7]."""
+    lo, hi = unpack_int4_halves(packed)
+    return jnp.concatenate([lo, hi], axis=-2)
 
 
 def quantize_linear_int4(p: dict) -> dict:
