@@ -146,3 +146,48 @@ def _collect_coco_records(data, result, cat_to_id, res_list):
                 "bbox": [x1, y1, x2 - x1, y2 - y1],
                 "score": score_list[i],
             })
+
+
+def _cli():
+    """CLI parity with the reference eval scripts (eval_coco.py:92-100,
+    eval_countbench.py argparse mains)."""
+    import argparse
+
+    ap = argparse.ArgumentParser(description="FO1 evaluation runners")
+    sub = ap.add_subparsers(dest="task", required=True)
+
+    cb = sub.add_parser("countbench")
+    cb.add_argument("--model-path", required=True)
+    cb.add_argument("--data-path", required=True)
+    cb.add_argument("--image-path", required=True)
+    cb.add_argument("--max-items", type=int, default=None)
+    cb.add_argument("--batch-size", type=int, default=1)
+
+    cc = sub.add_parser("coco")
+    cc.add_argument("--model-path", required=True)
+    cc.add_argument("--eval-data-path", required=True)
+    cc.add_argument("--original-data-path", required=True)
+    cc.add_argument("--img-folder", required=True)
+    cc.add_argument("--out-path", required=True)
+    cc.add_argument("--max-items", type=int, default=None)
+    cc.add_argument("--batch-size", type=int, default=1)
+
+    args = ap.parse_args()
+    from vlm_fo1_tpu.models.fo1 import FO1Model
+
+    model = FO1Model.from_pretrained(args.model_path)
+    if args.task == "countbench":
+        out = eval_countbench(model, args.data_path, args.image_path,
+                              max_items=args.max_items,
+                              batch_size=args.batch_size)
+        print(f"accuracy: {out['accuracy']:.4f} "
+              f"({out['correct']}/{out['total']})")
+    else:
+        res = eval_coco(model, args.eval_data_path, args.original_data_path,
+                        args.img_folder, args.out_path,
+                        max_items=args.max_items, batch_size=args.batch_size)
+        print(f"wrote {len(res)} detection records to {args.out_path}")
+
+
+if __name__ == "__main__":
+    _cli()

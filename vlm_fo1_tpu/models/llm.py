@@ -244,3 +244,42 @@ def splice_multimodal_embeds(
         embeds = embeds.at[region_positions].set(
             region_features.astype(embeds.dtype))
     return embeds
+
+
+def text_forward_ring(params, cfg: TextConfig, hidden, cos, sin, q_pos,
+                      kv_pos, kv_valid, axis_name: str):
+    """Sequence-parallel trunk forward for use inside jax.shard_map: the
+    sequence axis of `hidden`/`cos`/`sin`/positions is sharded over
+    `axis_name` and attention runs as ring attention (K/V blocks rotate via
+    ppermute — parallel/ring_attention.py). Everything else (projections,
+    norms, MLP) is token-local so it needs no communication.
+
+    Returns (hidden [B, Sl, D], (k, v) [L, B, Sl, Hkv, hd]) — the per-layer
+    K/V for cache assembly outside the shard_map.
+    """
+    from vlm_fo1_tpu.parallel.ring_attention import ring_attention
+
+    act = nn.ACT[cfg.hidden_act]
+    nh, nkv, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                   cfg.head_dim)
+
+    def body(x, lp):
+        b, s, _ = x.shape
+        h = nn.rms_norm(lp["input_layernorm"], x, eps=cfg.rms_norm_eps)
+        q = nn.linear(lp["attn"]["q_proj"], h).reshape(b, s, nh, hd)
+        k = nn.linear(lp["attn"]["k_proj"], h).reshape(b, s, nkv, hd)
+        v = nn.linear(lp["attn"]["v_proj"], h).reshape(b, s, nkv, hd)
+        q = _apply_rope(q, cos, sin)
+        k = _apply_rope(k, cos, sin)
+        attn = ring_attention(q, k, v, q_pos, kv_pos, kv_valid, axis_name)
+        x = x + nn.linear(lp["attn"]["o_proj"], attn.reshape(b, s, nh * hd))
+        h = nn.rms_norm(lp["post_attention_layernorm"], x,
+                        eps=cfg.rms_norm_eps)
+        x = x + nn.linear(lp["mlp"]["down_proj"],
+                          act(nn.linear(lp["mlp"]["gate_proj"], h))
+                          * nn.linear(lp["mlp"]["up_proj"], h))
+        return x, (k, v)
+
+    x, (ks, vs) = jax.lax.scan(body, hidden, params["layers"])
+    x = nn.rms_norm(params["norm"], x, eps=cfg.rms_norm_eps)
+    return x, (ks, vs)

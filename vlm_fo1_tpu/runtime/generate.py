@@ -191,3 +191,48 @@ def decode_to_text(tokenizer, token_row, eos_token_id=151645,
         if s in text:
             text = text.split(s)[0]
     return text.strip()
+
+
+def prefill_sequence_parallel(params, cfg: TextConfig, embeds, position_ids,
+                              seq_lens, cache_len: int, mesh,
+                              axis: str = "model"):
+    """Sequence-parallel prefill: the padded prompt is sharded over `axis`
+    of `mesh` and the trunk runs with ring attention (growth path for long
+    multimodal prompts — SURVEY.md §2.4; the reference has no distributed
+    attention). Returns (kv_cache, last_logits) exactly like `prefill`.
+
+    Sp (the padded length) must divide by the axis size. Params are taken
+    as replicated over `axis` (they may still be tensor-sharded over other
+    axes by the caller's NamedShardings).
+    """
+    import functools
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    b, sp, _ = embeds.shape
+    n = mesh.shape[axis]
+    assert sp % n == 0, (sp, n)
+    cos, sin = llm.mrope_cos_sin(position_ids, cfg)
+    pos = jnp.broadcast_to(jnp.arange(sp)[None], (b, sp))
+    valid = pos < seq_lens[:, None]
+
+    fn = jax.shard_map(
+        functools.partial(llm.text_forward_ring, axis_name=axis),
+        mesh=mesh,
+        in_specs=(P(), None, P(None, axis), P(None, axis), P(None, axis),
+                  P(None, axis), P(None, axis), P(None, axis)),
+        out_specs=(P(None, axis),
+                   (P(None, None, axis), P(None, None, axis))))
+    hidden, (ks, vs) = fn(params, cfg, embeds, cos, sin, pos, pos, valid)
+
+    cache = llm.init_kv_cache(cfg, b, cache_len, dtype=embeds.dtype)
+    cache = {
+        "k": jax.lax.dynamic_update_slice(
+            cache["k"], ks.astype(cache["k"].dtype), (0, 0, 0, 0, 0)),
+        "v": jax.lax.dynamic_update_slice(
+            cache["v"], vs.astype(cache["v"].dtype), (0, 0, 0, 0, 0)),
+    }
+    last = jnp.take_along_axis(
+        hidden, (seq_lens - 1)[:, None, None].astype(jnp.int32), axis=1)
+    logits = llm.lm_head_logits(params, cfg, last)[:, 0]
+    return cache, logits.astype(jnp.float32)
