@@ -209,9 +209,11 @@ def lm_head_logits(params: dict, cfg: TextConfig, hidden: jnp.ndarray):
                           preferred_element_type=jnp.float32)
     head = params["lm_head"]
     if "w_q" in head:
-        logits = jnp.einsum("bsd,dv->bsv", hidden,
-                            head["w_q"].astype(hidden.dtype),
-                            preferred_element_type=jnp.float32)
+        # int8 operand fed to the dot DIRECTLY: an .astype first would make
+        # XLA materialize a bf16 copy of the whole 0.3GB head every step
+        logits = jax.lax.dot_general(
+            hidden, head["w_q"], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         return logits * head["scale"]
     if "w_q4" in head:
         from vlm_fo1_tpu import nn as _nn
