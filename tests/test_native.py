@@ -60,3 +60,29 @@ def test_pipeline_uses_native(rng):
     pv, grid = qwen_image_preprocess(img)
     assert pv.dtype == np.float32
     assert pv.shape[0] == grid[1] * grid[2]
+
+
+def test_raw_patchify_native_matches_numpy(rng):
+    """The C++ raw-u8 patchify (device-normalize path) must be bit-exact
+    vs the numpy layout transform."""
+    from PIL import Image
+
+    import vlm_fo1_tpu.native as native
+    from vlm_fo1_tpu.preprocess.image import qwen_image_patchify_u8
+
+    if native.get_lib() is None:
+        pytest.skip("no native toolchain")
+
+    img = Image.fromarray(rng.integers(0, 255, (112, 140, 3), dtype=np.uint8))
+    got, grid = qwen_image_patchify_u8(img, max_pixels=512 * 512)
+    assert got.dtype == np.uint8
+
+    raw = np.asarray(img.resize((140, 112), Image.Resampling.BICUBIC),
+                     np.uint8)
+    chw = raw.transpose(2, 0, 1)
+    frames = np.broadcast_to(chw, (2, *chw.shape))
+    gh, gw = 112 // 14, 140 // 14
+    patches = frames.reshape(1, 2, 3, gh // 2, 2, 14, gw // 2, 2, 14
+                             ).transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
+    want = np.ascontiguousarray(patches).reshape(gh * gw, 3 * 2 * 14 * 14)
+    np.testing.assert_array_equal(got, want)

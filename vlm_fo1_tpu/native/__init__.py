@@ -48,6 +48,8 @@ def get_lib():
     lib.qwen_patchify_u8.restype = None
     lib.normalize_chw_u8.argtypes = [u8p, i64, i64, fp, fp, fp]
     lib.normalize_chw_u8.restype = None
+    lib.qwen_patchify_u8_raw.argtypes = [u8p, i64, i64, i64, i64, i64, u8p]
+    lib.qwen_patchify_u8_raw.restype = None
     _lib = lib
     return _lib
 
@@ -90,4 +92,23 @@ def normalize_chw_native(img_u8: np.ndarray, mean: np.ndarray,
     lib.normalize_chw_u8(
         img_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         h, w, _fptr(mean), _fptr(inv_std), _fptr(out))
+    return out
+
+
+def qwen_patchify_raw_native(img_u8: np.ndarray, patch: int, merge: int,
+                             temporal: int):
+    """Raw layout transform for the device-normalize path: [H, W, 3] uint8
+    -> uint8 pixel_values [grid_h*grid_w, 3*temporal*patch*patch].
+    Returns None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    img_u8 = np.ascontiguousarray(img_u8, np.uint8)
+    h, w, _ = img_u8.shape
+    grid_h, grid_w = h // patch, w // patch
+    out = np.empty((grid_h * grid_w, 3 * temporal * patch * patch), np.uint8)
+    lib.qwen_patchify_u8_raw(
+        img_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h, w, patch, merge, temporal,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     return out

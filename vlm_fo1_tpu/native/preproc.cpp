@@ -80,4 +80,45 @@ void normalize_chw_u8(
   }
 }
 
+// Raw uint8 patchify (no normalize): layout transform for the
+// device-normalize path — raw pixels ship to the TPU at 1 byte each and
+// the /255-mean-std affine fuses into patch embed on device.
+void qwen_patchify_u8_raw(
+    const uint8_t* img,      // [H, W, 3]
+    int64_t h, int64_t w,
+    int64_t patch, int64_t merge, int64_t temporal,
+    uint8_t* pixel_values) { // [grid_h*grid_w, 3*T*patch*patch]
+  const int64_t grid_h = h / patch;
+  const int64_t grid_w = w / patch;
+  const int64_t row_len = 3 * temporal * patch * patch;
+  const int64_t plane = temporal * patch * patch;
+
+  for (int64_t hb = 0; hb < grid_h / merge; ++hb) {
+    for (int64_t wb = 0; wb < grid_w / merge; ++wb) {
+      for (int64_t mh = 0; mh < merge; ++mh) {
+        for (int64_t mw = 0; mw < merge; ++mw) {
+          const int64_t gy = hb * merge + mh;
+          const int64_t gx = wb * merge + mw;
+          const int64_t out_row =
+              ((hb * (grid_w / merge) + wb) * merge + mh) * merge + mw;
+          uint8_t* out = pixel_values + out_row * row_len;
+          for (int64_t py = 0; py < patch; ++py) {
+            const uint8_t* src = img + ((gy * patch + py) * w
+                                        + gx * patch) * 3;
+            for (int64_t px = 0; px < patch; ++px) {
+              const uint8_t* p = src + px * 3;
+              for (int64_t c = 0; c < 3; ++c) {
+                const uint8_t v = p[c];
+                for (int64_t t = 0; t < temporal; ++t) {
+                  out[c * plane + t * patch * patch + py * patch + px] = v;
+                }
+              }
+            }
+          }
+        }
+      }
+    }
+  }
+}
+
 }  // extern "C"

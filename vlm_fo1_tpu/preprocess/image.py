@@ -275,8 +275,16 @@ def qwen_image_patchify_u8(
         image.height, image.width, factor=patch_size * merge_size,
         min_pixels=min_pixels, max_pixels=max_pixels)
     img = image.resize((w_bar, h_bar), Image.Resampling.BICUBIC)
-    chw = np.asarray(img, np.uint8).transpose(2, 0, 1)
+    raw = np.asarray(img, np.uint8)
 
+    from vlm_fo1_tpu.native import qwen_patchify_raw_native
+
+    native = qwen_patchify_raw_native(raw, patch_size, merge_size,
+                                      temporal_patch_size)
+    if native is not None:
+        return native, (1, h_bar // patch_size, w_bar // patch_size)
+
+    chw = raw.transpose(2, 0, 1)
     frames = np.broadcast_to(chw, (temporal_patch_size, *chw.shape))
     grid_h, grid_w = h_bar // patch_size, w_bar // patch_size
     c = chw.shape[0]
