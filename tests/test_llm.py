@@ -147,9 +147,9 @@ def test_greedy_generate_matches_hf(hf_model, rng):
                             jnp.asarray([6]), cache_len=sp + max_new)
     gen_cfg = GenerationConfig(max_new_tokens=max_new, temperature=0.0,
                                eos_token_id=-7, pad_token_id=0)
-    tokens, steps = decode_loop(params, CFG, gen_cfg, cache, logits,
-                                jnp.asarray([6]), jnp.asarray(deltas[:, 0]),
-                                jax.random.PRNGKey(0))
+    tokens, steps, _ = decode_loop(params, CFG, gen_cfg, cache, logits,
+                                   jnp.asarray([6]), jnp.asarray(deltas[:, 0]),
+                                   jax.random.PRNGKey(0))
     np.testing.assert_array_equal(np.asarray(tokens)[0], ref_tokens)
     assert int(steps) == max_new
 
@@ -165,9 +165,9 @@ def test_decode_stops_at_eos(hf_model, rng):
     eos = int(np.asarray(jnp.argmax(logits, -1))[0])
     gen_cfg = GenerationConfig(max_new_tokens=8, temperature=0.0,
                                eos_token_id=eos, pad_token_id=0)
-    tokens, steps = decode_loop(params, CFG, gen_cfg, cache, logits,
-                                jnp.asarray([6]), jnp.asarray(deltas[:, 0]),
-                                jax.random.PRNGKey(0))
+    tokens, steps, _ = decode_loop(params, CFG, gen_cfg, cache, logits,
+                                   jnp.asarray([6]), jnp.asarray(deltas[:, 0]),
+                                   jax.random.PRNGKey(0))
     assert int(steps) == 1
     assert int(np.asarray(tokens)[0, 0]) == eos
     assert (np.asarray(tokens)[0, 1:] == 0).all()

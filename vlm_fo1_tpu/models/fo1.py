@@ -480,7 +480,7 @@ class FO1Model:
                     cache, first_logits, s, int(prep["rope_deltas"][0, 0]),
                     gen_cfg, streamer)
             else:
-                tokens, steps = decode_loop(
+                tokens, steps, _ = decode_loop(
                     self.params["text"], cfg.text, gen_cfg, cache,
                     first_logits, jnp.asarray([s]),
                     jnp.asarray(prep["rope_deltas"][:, 0]),
@@ -588,7 +588,7 @@ class FO1Model:
         gen_cfg = GenerationConfig(
             max_new_tokens=max_new_tokens, temperature=temperature,
             top_p=top_p, eos_token_id=eos, pad_token_id=cfg.pad_token_id)
-        tokens, steps = decode_loop(
+        tokens, steps, _ = decode_loop(
             self.params["text"], cfg.text, gen_cfg, cache, first_logits,
             jnp.asarray(seq_lens), jnp.asarray(deltas),
             jax.random.PRNGKey(seed), prompt_pad=pad_len)

@@ -40,7 +40,11 @@ def ring_attention(q, k, v, q_pos, kv_pos, kv_valid, axis_name: str):
     a0 = jnp.zeros((b, hkv, groups, sl, hd), jnp.float32)
     # fresh accumulators are unvarying over the mesh axis but become varying
     # once mixed with sharded data; align the loop-carry types up front
-    m0, l0, a0 = (jax.lax.pvary(t, (axis_name,)) for t in (m0, l0, a0))
+    if hasattr(jax.lax, "pcast"):
+        m0, l0, a0 = (jax.lax.pcast(t, axis_name, to="varying")
+                      for t in (m0, l0, a0))
+    else:  # older jax
+        m0, l0, a0 = (jax.lax.pvary(t, (axis_name,)) for t in (m0, l0, a0))
     perm = [(j, (j + 1) % n) for j in range(n)]
 
     def body(_, carry):

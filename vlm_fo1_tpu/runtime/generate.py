@@ -102,7 +102,10 @@ def decode_loop(
     ragged-prompt batches work with uniform write offsets.
 
     Returns (tokens [B, max_new] int32 — padded with pad_token_id after EOS,
-    num_steps int32).
+    num_steps int32, kv_cache). The cache is threaded back out so the donated
+    input buffer aliases an output (no silent copy of the multi-hundred-MB
+    cache at the while_loop boundary); callers that don't continue generation
+    just drop it.
     """
     b = first_logits.shape[0]
     cache_len = kv_cache["k"].shape[2]
@@ -150,8 +153,8 @@ def decode_loop(
 
     state = (kv_cache, tokens, tok0, jnp.int32(1), done0, key)
     state = jax.lax.while_loop(cond, body, state)
-    _, tokens, _, step, _, _ = state
-    return tokens, step
+    cache, tokens, _, step, _, _ = state
+    return tokens, step, cache
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("kv_cache",))
