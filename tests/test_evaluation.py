@@ -101,3 +101,24 @@ def test_eval_countbench_batched_matches_sequential(tmp_path, model, rng):
                           batch_size=2)
     assert bat["total"] == 3
     assert bat["predictions"] == seq["predictions"]
+
+
+def test_eval_countbench_pipelined_matches_batched(tmp_path, model, rng):
+    """pipelined=True is a host-scheduling change only: same predictions."""
+    tmp = str(tmp_path)
+    _write_images(tmp, rng, ["a.jpg", "b.jpg", "c.jpg"])
+    data = [
+        {"question": "How many x?", "answer": 2, "image": "a.jpg",
+         "bboxes": [[1, 1, 30, 30], [5, 5, 60, 50]], "scores": [0.9, 0.8]},
+        {"question": "How many y?", "answer": 1, "image": "b.jpg",
+         "bboxes": [[2, 2, 40, 40]], "scores": [0.7]},
+        {"question": "How many z?", "answer": 3, "image": "c.jpg",
+         "bboxes": [[3, 3, 20, 25]], "scores": [0.6]},
+    ]
+    path = os.path.join(tmp, "count.json")
+    json.dump(data, open(path, "w"))
+    bat = eval_countbench(model, path, tmp, max_new_tokens=4, verbose=False,
+                          batch_size=2)
+    pipe = eval_countbench(model, path, tmp, max_new_tokens=4, verbose=False,
+                           batch_size=2, pipelined=True)
+    assert pipe["predictions"] == bat["predictions"]

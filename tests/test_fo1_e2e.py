@@ -200,3 +200,26 @@ def test_encode_many_batched_matches_per_item(model, rng):
         np.testing.assert_allclose(np.asarray(rtok)[:n_real],
                                    np.asarray(rpad_ref)[:n_real],
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_serving_pipeline_matches_generate_batch(model, rng):
+    """The pipelined server must be a pure scheduling change: identical
+    tokens to generate_batch over the same batch split."""
+    from vlm_fo1_tpu.runtime.serving import ServingOptions, ServingPipeline
+
+    msgs = [_messages(rng, n_boxes=2 + (i % 3)) for i in range(5)]
+    msgs[1][0]["content"][1]["text"] = "count the oranges"
+    ref = (model.generate_batch(msgs[:2], max_new_tokens=4,
+                                max_pixels=128 * 128)
+           + model.generate_batch(msgs[2:4], max_new_tokens=4,
+                                  max_pixels=128 * 128)
+           + model.generate_batch(msgs[4:], max_new_tokens=4,
+                                  max_pixels=128 * 128))
+    pipe = ServingPipeline(model, ServingOptions(
+        batch_size=2, max_new_tokens=4, max_pixels=128 * 128,
+        prepare_workers=2, max_in_flight=2))
+    out = pipe.run(msgs)
+    assert len(out) == len(msgs)
+    for r, e in zip(out, ref):
+        np.testing.assert_array_equal(r.token_ids, e.token_ids)
+        assert r.prompt_len == e.prompt_len

@@ -39,41 +39,61 @@ def extract_count(outputs: str) -> int:
 
 def eval_countbench(model, data_path: str, image_path: str,
                     max_items: int | None = None, max_new_tokens: int = 4096,
-                    verbose: bool = True, batch_size: int = 1) -> dict:
+                    verbose: bool = True, batch_size: int = 1,
+                    pipelined: bool = False) -> dict:
     """Exact-match counting accuracy. Returns summary dict with per-item
     predictions.
 
     batch_size > 1 runs generate_batch over chunks (ragged prompts share a
     prefill bucket; same-geometry images share one encode) — the throughput
-    path the reference's batch-1 loop lacks (eval_countbench.py:22-65)."""
+    path the reference's batch-1 loop lacks (eval_countbench.py:22-65).
+    pipelined=True additionally overlaps host preprocessing with device
+    compute via runtime.serving.ServingPipeline."""
     with open(data_path) as f:
         data = json.load(f)
     if max_items:
         data = data[:max_items]
 
+    msgs_of = lambda item: _build_messages(  # noqa: E731
+        os.path.join(image_path, item["image"]), item["question"],
+        item["bboxes"])
+
     preds, gts, latencies = [], [], []
-    for start in range(0, len(data), batch_size):
-        chunk = data[start:start + batch_size]
-        msgs_list = [
-            _build_messages(os.path.join(image_path, item["image"]),
-                            item["question"], item["bboxes"])
-            for item in chunk]
+    if pipelined and batch_size > 1:
+        from vlm_fo1_tpu.runtime.serving import (
+            ServingOptions,
+            ServingPipeline,
+        )
+
+        pipe = ServingPipeline(model, ServingOptions(
+            batch_size=batch_size, max_new_tokens=max_new_tokens,
+            temperature=0.0, top_p=0.05))
         t0 = time.time()
-        if batch_size == 1:
-            results = [model.generate(msgs_list[0],
-                                      max_new_tokens=max_new_tokens,
-                                      top_p=0.05, temperature=0.0)]
-        else:
-            results = model.generate_batch(msgs_list,
-                                           max_new_tokens=max_new_tokens,
-                                           top_p=0.05, temperature=0.0)
-        latencies.extend([(time.time() - t0) / len(chunk)] * len(chunk))
-        for item, result in zip(chunk, results):
-            pred = extract_count(result.text)
-            preds.append(pred)
-            gts.append(item["answer"])
-            if verbose and pred != item["answer"]:
-                print(f"gt={item['answer']} pred_text={result.text[:120]!r}")
+        results = pipe.run([msgs_of(item) for item in data])
+        latencies = [(time.time() - t0) / max(len(data), 1)] * len(data)
+        pairs = zip(data, results)
+    else:
+        pairs = []
+        for start in range(0, len(data), batch_size):
+            chunk = data[start:start + batch_size]
+            msgs_list = [msgs_of(item) for item in chunk]
+            t0 = time.time()
+            if batch_size == 1:
+                results = [model.generate(msgs_list[0],
+                                          max_new_tokens=max_new_tokens,
+                                          top_p=0.05, temperature=0.0)]
+            else:
+                results = model.generate_batch(msgs_list,
+                                               max_new_tokens=max_new_tokens,
+                                               top_p=0.05, temperature=0.0)
+            latencies.extend([(time.time() - t0) / len(chunk)] * len(chunk))
+            pairs.extend(zip(chunk, results))
+    for item, result in pairs:
+        pred = extract_count(result.text)
+        preds.append(pred)
+        gts.append(item["answer"])
+        if verbose and pred != item["answer"]:
+            print(f"gt={item['answer']} pred_text={result.text[:120]!r}")
 
     correct = sum(1 for p, g in zip(preds, gts) if p == g)
     acc = correct / len(preds) if preds else 0.0
@@ -85,10 +105,12 @@ def eval_countbench(model, data_path: str, image_path: str,
 def eval_coco(model, eval_data_path: str, original_data_path: str,
               img_folder: str, out_path: str,
               max_items: int | None = None,
-              max_new_tokens: int = 4096, batch_size: int = 1) -> list[dict]:
+              max_new_tokens: int = 4096, batch_size: int = 1,
+              pipelined: bool = False) -> list[dict]:
     """Per-image generation with precomputed UPN proposals -> COCO-format
     detection records (confidence = proposal score, reference
-    eval_coco.py:69-85). batch_size > 1 uses generate_batch per chunk."""
+    eval_coco.py:69-85). batch_size > 1 uses generate_batch per chunk;
+    pipelined=True overlaps host preprocessing with device compute."""
     data_list = []
     with open(eval_data_path) as f:
         for line in f:
@@ -101,6 +123,29 @@ def eval_coco(model, eval_data_path: str, original_data_path: str,
     cat_to_id = {c["name"]: c["id"] for c in original["categories"]}
 
     res_list = []
+    if pipelined and batch_size > 1:
+        from vlm_fo1_tpu.runtime.serving import (
+            ServingOptions,
+            ServingPipeline,
+        )
+
+        pipe = ServingPipeline(model, ServingOptions(
+            batch_size=batch_size, max_new_tokens=max_new_tokens,
+            temperature=0.0, top_p=0.05))
+        msgs_list = [
+            _build_messages(os.path.join(img_folder, d["image"]),
+                            d["conversations"][0]["value"], d["bbox_list"])
+            for d in data_list]
+        try:
+            for i, result in pipe.run_stream(msgs_list):
+                _collect_coco_records(data_list[i], result, cat_to_id,
+                                      res_list)
+        except Exception as e:  # keep partial results (reference :60-65)
+            print(f"pipelined sweep aborted: {e}")
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        with open(out_path, "w") as f:
+            json.dump(res_list, f)
+        return res_list
     for start in range(0, len(data_list), batch_size):
         chunk = data_list[start:start + batch_size]
         try:
@@ -162,6 +207,7 @@ def _cli():
     cb.add_argument("--image-path", required=True)
     cb.add_argument("--max-items", type=int, default=None)
     cb.add_argument("--batch-size", type=int, default=1)
+    cb.add_argument("--pipelined", action="store_true")
 
     cc = sub.add_parser("coco")
     cc.add_argument("--model-path", required=True)
@@ -171,6 +217,7 @@ def _cli():
     cc.add_argument("--out-path", required=True)
     cc.add_argument("--max-items", type=int, default=None)
     cc.add_argument("--batch-size", type=int, default=1)
+    cc.add_argument("--pipelined", action="store_true")
 
     args = ap.parse_args()
     from vlm_fo1_tpu.models.fo1 import FO1Model
@@ -179,13 +226,15 @@ def _cli():
     if args.task == "countbench":
         out = eval_countbench(model, args.data_path, args.image_path,
                               max_items=args.max_items,
-                              batch_size=args.batch_size)
+                              batch_size=args.batch_size,
+                              pipelined=args.pipelined)
         print(f"accuracy: {out['accuracy']:.4f} "
               f"({out['correct']}/{out['total']})")
     else:
         res = eval_coco(model, args.eval_data_path, args.original_data_path,
                         args.img_folder, args.out_path,
-                        max_items=args.max_items, batch_size=args.batch_size)
+                        max_items=args.max_items, batch_size=args.batch_size,
+                        pipelined=args.pipelined)
         print(f"wrote {len(res)} detection records to {args.out_path}")
 
 

@@ -555,9 +555,29 @@ class FO1Model:
         strictly batch-1, SURVEY.md §3.4). Vision encodes run per item (jit
         cached per geometry); prefill and the decode loop run as one batch
         with ragged prompts right-padded to a shared bucket."""
-        cfg = self.cfg
         preps = [self.prepare(messages, max_pixels=max_pixels)
                  for messages in messages_list]
+        handle = self.launch_batch(
+            preps, max_new_tokens=max_new_tokens, temperature=temperature,
+            top_p=top_p, seed=seed, eos_token_id=eos_token_id)
+        return self.finish_batch(handle)
+
+    def launch_batch(
+        self,
+        preps: list[dict],
+        max_new_tokens: int = 512,
+        temperature: float = 0.0,
+        top_p: float = 1.0,
+        seed: int = 0,
+        eos_token_id: int | None = None,
+    ) -> dict:
+        """Dispatch the full device pipeline (encode -> splice -> prefill ->
+        decode loop) for a batch of prepared inputs WITHOUT any host<->device
+        synchronization: every return value is an in-flight device array.
+        `finish_batch` blocks and decodes. The launch/finish split is what
+        lets a serving pipeline overlap host preprocessing of the next batch
+        with device compute of this one (runtime/serving.py)."""
+        cfg = self.cfg
         splices = self._encode_many(preps)
 
         pad_len = pad_to_bucket(max(s.seq_len for s, *_ in splices), 128)
@@ -592,11 +612,17 @@ class FO1Model:
             self.params["text"], cfg.text, gen_cfg, cache, first_logits,
             jnp.asarray(seq_lens), jnp.asarray(deltas),
             jax.random.PRNGKey(seed), prompt_pad=pad_len)
-        tokens = np.asarray(tokens)
-        steps = int(steps)
+        return {"tokens": tokens, "steps": steps, "seq_lens": seq_lens,
+                "eos": eos}
+
+    def finish_batch(self, handle: dict) -> list[GenerationResult]:
+        """Block on a launch_batch handle and decode the results."""
+        tokens = np.asarray(handle["tokens"])
+        steps = int(handle["steps"])
+        seq_lens, eos = handle["seq_lens"], handle["eos"]
 
         results = []
-        for i in range(b):
+        for i in range(tokens.shape[0]):
             row = tokens[i, :steps]
             out = row
             if eos in out.tolist():
