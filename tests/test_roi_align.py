@@ -113,3 +113,23 @@ def test_matmul_formulation_grad(rng):
     g = jax.grad(lambda f: roi_align_mean(f, boxes, 7, 1.0).sum())(feat)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_upsampled_pooling_matches_materialized_resize(rng):
+    """roi_align_mean_upsampled composes upsample+sample exactly: must match
+    pooling over an actually-materialized jax.image.resize bilinear map."""
+    from vlm_fo1_tpu.ops.roi_align import roi_align_mean_upsampled
+
+    for h, w, c, f in [(24, 24, 16, 8), (48, 48, 8, 4), (13, 17, 5, 2)]:
+        feat = jnp.asarray(rng.standard_normal((h, w, c)).astype(np.float32))
+        up = jax.image.resize(feat, (h * f, w * f, c), method="bilinear")
+        boxes = jnp.asarray(np.array([
+            [1.0, 1.0, w * f * 2.0, h * f * 2.0],
+            [-5.0, -5.0, 9.0, 9.0],
+            [0.25 * w * f, 0.25 * h * f, 0.7 * w * f, 0.9 * h * f],
+        ], np.float32))
+        ref = roi_align_mean(up, boxes, 7, 0.25, sampling_ratio=2)
+        got = roi_align_mean_upsampled(feat, boxes, 7, 0.25, upsample=f,
+                                       sampling_ratio=2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-6, rtol=1e-5)

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from vlm_fo1_tpu import nn
 from vlm_fo1_tpu.config import HFREConfig
 from vlm_fo1_tpu.models.simple_fpn import simple_fpn_forward
-from vlm_fo1_tpu.ops.roi_align import roi_align_mean
+from vlm_fo1_tpu.ops.roi_align import roi_align_mean, roi_align_mean_upsampled
 
 # SimpleFPN level strides for a 14px-patch ViT (reference hybrid...:245)
 FPN_STRIDES = (3.5, 7.0, 14.0, 28.0)
@@ -117,22 +117,32 @@ def upsample_concat_aux(aux_maps: list[jnp.ndarray]) -> jnp.ndarray:
 
 
 def roi_align_aux_levels(aux_maps: list[jnp.ndarray], boxes, cfg: HFREConfig):
-    """Memory-lean aux-path pooling: per-level fp32 upsample + ROIAlign +
-    channel concat of the pooled features.
+    """Aux-path pooling without materializing ANY upsampled map.
 
     Exactly equals ROIAlign over upsample_concat_aux (ROIAlign is independent
-    per channel), but never materializes the [H0, W0, sumC] fp32 concat —
-    peak HBM is one upsampled level instead of all four (matters with the
-    full 3B weights resident). aux_maps: [Hi, Wi, Ci] (single image)."""
+    per channel, and upsample-then-sample composes into one weight matrix —
+    ops/roi_align.roi_align_mean_upsampled): each level is pooled at its
+    NATIVE resolution with the composed bilinear weights. Removes >2GB of
+    fp32 upsample traffic per 4-image batch on the DaViT [24,24,2048] stage.
+    aux_maps: [Hi, Wi, Ci] (single image)."""
     h0, w0 = aux_maps[0].shape[:2]
     feats = []
     for i, m in enumerate(aux_maps):
         mf = m.astype(jnp.float32)
-        if i != 0:
+        hi, wi = m.shape[:2]
+        if i == 0:
+            feats.append(roi_align_mean(mf, boxes, cfg.roi_output_size,
+                                        cfg.aux_spatial_scale,
+                                        cfg.roi_sampling_ratio))
+        elif h0 % hi == 0 and w0 % wi == 0 and h0 // hi == w0 // wi:
+            feats.append(roi_align_mean_upsampled(
+                mf, boxes, cfg.roi_output_size, cfg.aux_spatial_scale,
+                upsample=h0 // hi, sampling_ratio=cfg.roi_sampling_ratio))
+        else:  # non-integer ratio: materialize (never hit by DaViT stages)
             mf = jax.image.resize(mf, (h0, w0, m.shape[-1]), method="bilinear")
-        feats.append(roi_align_mean(mf, boxes, cfg.roi_output_size,
-                                    cfg.aux_spatial_scale,
-                                    cfg.roi_sampling_ratio))
+            feats.append(roi_align_mean(mf, boxes, cfg.roi_output_size,
+                                        cfg.aux_spatial_scale,
+                                        cfg.roi_sampling_ratio))
     return jnp.concatenate(feats, axis=-1)
 
 

@@ -97,42 +97,60 @@ def init_vit_params(key, cfg: ViTConfig, dtype=jnp.float32) -> dict:
 
 
 def _apply_rotary(x, cos, sin):
-    """rotate-half rotary in fp32 (x: [B, P, H, hd], cos/sin: [P, hd])."""
+    """rotate-half rotary in fp32. x: [..., H, hd]; cos/sin broadcastable to
+    x's shape with the head axis dropped (e.g. [P, hd] against [B, P, H, hd],
+    or [1, W, T, hd] against [B, W, T, H, hd])."""
     dt = x.dtype
     xf = x.astype(jnp.float32)
     half = xf.shape[-1] // 2
     rot = jnp.concatenate([-xf[..., half:], xf[..., :half]], axis=-1)
-    out = xf * cos[None, :, None, :] + rot * sin[None, :, None, :]
+    out = xf * cos[..., None, :] + rot * sin[..., None, :]
     return out.astype(dt)
 
 
 # full attention switches to the Pallas flash kernel above this sequence
-# length (dense [P, P] logits for a 2048px image would need ~30GB)
-FLASH_FULL_ATTN_THRESHOLD = 4096
+# length (dense [P, P] logits for a 2048px image would need ~30GB; even at
+# ~1.3k tokens the fused kernel beats the materialized fp32 logits path)
+FLASH_FULL_ATTN_THRESHOLD = 1024
 
 
-def _attention(p, x, cos, sin, mask, num_heads, *, windowed, num_windows,
-               kv_valid=None):
-    """One attention layer over the padded layout.
+def _window_attention(p, x, cos, sin, mask, num_heads):
+    """Attention within windows, window-major layout throughout.
 
-    x: [B, P, D]; mask: [B, 1, P, P] for full attention or
-    [B*W, 1, T, T] for windowed; True = attend.
+    x: [B, W, T, D]; cos/sin: [W, T, hd]; mask: [W, T, T] (True = attend).
+    Keeping the [B, W, T, D] layout across all window blocks (instead of
+    reshaping flat<->windowed per block) removes the per-block relayout
+    copies that dominated the profiled HBM traffic.
     """
+    b, w, t, d = x.shape
+    hd = d // num_heads
+    qkv = nn.linear(p["qkv"], x).reshape(b, w, t, 3, num_heads, hd)
+    q = _apply_rotary(qkv[..., 0, :, :], cos[None], sin[None])
+    k = _apply_rotary(qkv[..., 1, :, :], cos[None], sin[None])
+    v = qkv[..., 2, :, :]
+
+    logits = jnp.einsum("bwqnh,bwknh->bwnqk", q, k,
+                        preferred_element_type=jnp.float32)
+    logits = logits * (1.0 / jnp.sqrt(jnp.float32(hd)))
+    logits = jnp.where(mask[None, :, None], logits,
+                       jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bwnqk,bwknh->bwqnh", probs, v).reshape(b, w, t, d)
+    return nn.linear(p["proj"], out)
+
+
+def _full_attention(p, x, cos, sin, mask, num_heads, *, kv_valid=None):
+    """Full attention over the whole padded sequence. x: [B, P, D];
+    cos/sin: [P, hd]; mask: [1, 1, P, P]."""
     b, pad, d = x.shape
     hd = d // num_heads
     qkv = nn.linear(p["qkv"], x).reshape(b, pad, 3, num_heads, hd)
-    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-    q = _apply_rotary(q, cos, sin)
-    k = _apply_rotary(k, cos, sin)
+    q = _apply_rotary(qkv[:, :, 0], cos, sin)
+    k = _apply_rotary(qkv[:, :, 1], cos, sin)
+    v = qkv[:, :, 2]
 
-    if windowed:
-        t = pad // num_windows
-        shape = (b * num_windows, t, num_heads, hd)
-        q, k, v = (a.reshape(shape) for a in (q, k, v))
-        out = nn.sdpa(q, k, v, mask=mask)
-        out = out.reshape(b, pad, d)
-    elif (pad >= FLASH_FULL_ATTN_THRESHOLD
-          and jax.default_backend() == "tpu"):
+    if (pad >= FLASH_FULL_ATTN_THRESHOLD
+            and jax.default_backend() == "tpu"):
         from vlm_fo1_tpu.ops.flash_attention import flash_attention
 
         out = flash_attention(
@@ -172,31 +190,42 @@ def vit_forward(
 
     wt = pad // num_windows
     valid_w = valid.reshape(num_windows, wt)
-    win_mask = (valid_w[:, None, :, None] & valid_w[:, None, None, :])
-    win_mask = jnp.broadcast_to(win_mask, (num_windows, 1, wt, wt))
-    win_mask = jnp.tile(win_mask, (b, 1, 1, 1))  # [B*W, 1, T, T]
+    win_mask = valid_w[:, :, None] & valid_w[:, None, :]   # [W, T, T]
     full_mask = (valid[None, None, :, None] & valid[None, None, None, :])
+    cos_w = rot_cos.reshape(num_windows, wt, -1)
+    sin_w = rot_sin.reshape(num_windows, wt, -1)
 
-    def run_block(blk, x, windowed):
-        attn_out = _attention(
+    def run_window_block(blk, xw):
+        attn_out = _window_attention(
+            blk["attn"], nn.rms_norm(blk["norm1"], xw), cos_w, sin_w,
+            win_mask, cfg.num_heads)
+        xw = xw + attn_out
+        return xw + _mlp(blk["mlp"], nn.rms_norm(blk["norm2"], xw), act)
+
+    def run_full_block(blk, x):
+        attn_out = _full_attention(
             blk["attn"], nn.rms_norm(blk["norm1"], x), rot_cos, rot_sin,
-            win_mask if windowed else full_mask,
-            cfg.num_heads, windowed=windowed, num_windows=num_windows,
-            kv_valid=valid)
+            full_mask, cfg.num_heads, kv_valid=valid)
         x = x + attn_out
         return x + _mlp(blk["mlp"], nn.rms_norm(blk["norm2"], x), act)
 
     # two-level scan over the periodic (window* , full) group structure:
-    # one traced window block + one traced full block regardless of depth
+    # one traced window block + one traced full block regardless of depth.
+    # Window blocks carry x in window-major [B, W, T, D]; the flat layout
+    # appears only around each full-attention block (4 relayouts instead of
+    # one per block).
     _, wpg = vit_group_structure(cfg)
 
     def group_body(x, gp):
         if wpg > 0:
-            def win_body(x, wp):
-                return run_block(wp, x, windowed=True), None
+            xw = x.reshape(b, num_windows, wt, -1)
 
-            x, _ = jax.lax.scan(win_body, x, gp["window"])
-        x = run_block(gp["full"], x, windowed=False)
+            def win_body(xw, wp):
+                return run_window_block(wp, xw), None
+
+            xw, _ = jax.lax.scan(win_body, xw, gp["window"])
+            x = xw.reshape(b, pad, -1)
+        x = run_full_block(gp["full"], x)
         return x, x
 
     x, captures = jax.lax.scan(group_body, x, params["blocks"])

@@ -87,20 +87,16 @@ def roi_align(
     return val.mean(axis=(2, 4))
 
 
-def roi_align_mean(feat, boxes, output_size, spatial_scale, sampling_ratio=2):
-    """ROIAlign followed by spatial mean-pool -> [N, C] (the only form the
-    HFRE consumes, hybrid...:361-363).
+def _pooled_corner_weights(boxes, h, w, output_size, spatial_scale,
+                           sampling_ratio):
+    """Shared tap math for the pooled (matmul) ROIAlign forms.
 
-    TPU formulation: pooled ROIAlign is a *linear functional* of the feature
-    map, so instead of 4 * taps row-gathers (memory-bound, ~1.2GB of traffic
-    for 100 boxes on the 192x192x3840 aux stack) we scatter the ~78k bilinear
-    corner weights into one [N, H*W] matrix and do a single [N, H*W] @
-    [H*W, C] matmul on the MXU — the map is read exactly once. Numerically
-    identical to roi_align(...).mean((1, 2)) up to fp32 summation order."""
-    h, w, c = feat.shape
+    Returns (y0, x0, y1i, x1i, cw): integer corner rows/cols [N, T] in the
+    [h, w] grid and the 4 per-tap corner weights cw [N, T, 4] (ordered
+    (y0,x0), (y0,x1), (y1,x0), (y1,x1)), already scaled by the bin-average
+    tap weight and zeroed for out-of-bounds taps."""
     n, oh, ow, ns = boxes.shape[0], int(output_size), int(output_size), \
         int(sampling_ratio)
-
     boxes = boxes.astype(jnp.float32) * spatial_scale
     x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
     bin_w = jnp.maximum(x2 - x1, 1.0) / ow
@@ -127,14 +123,85 @@ def roi_align_mean(feat, boxes, output_size, spatial_scale, sampling_ratio=2):
     hy, hx = 1.0 - ly, 1.0 - lx
 
     tap_w = 1.0 / (oh * ow * ns * ns)
-    idx = jnp.stack([y0 * w + x0, y0 * w + x1i,
-                     y1i * w + x0, y1i * w + x1i], axis=-1)      # [N, T, 4]
     cw = jnp.stack([hy * hx, hy * lx, ly * hx, ly * lx], axis=-1) * tap_w
     cw = jnp.where(oob[..., None], 0.0, cw)
+    return y0, x0, y1i, x1i, cw
+
+
+def roi_align_mean(feat, boxes, output_size, spatial_scale, sampling_ratio=2):
+    """ROIAlign followed by spatial mean-pool -> [N, C] (the only form the
+    HFRE consumes, hybrid...:361-363).
+
+    TPU formulation: pooled ROIAlign is a *linear functional* of the feature
+    map, so instead of 4 * taps row-gathers (memory-bound, ~1.2GB of traffic
+    for 100 boxes on the 192x192x3840 aux stack) we scatter the ~78k bilinear
+    corner weights into one [N, H*W] matrix and do a single [N, H*W] @
+    [H*W, C] matmul on the MXU — the map is read exactly once. Numerically
+    identical to roi_align(...).mean((1, 2)) up to fp32 summation order."""
+    h, w, c = feat.shape
+    n = boxes.shape[0]
+    y0, x0, y1i, x1i, cw = _pooled_corner_weights(
+        boxes, h, w, output_size, spatial_scale, sampling_ratio)
+    idx = jnp.stack([y0 * w + x0, y0 * w + x1i,
+                     y1i * w + x0, y1i * w + x1i], axis=-1)      # [N, T, 4]
 
     wmat = jnp.zeros((n, h * w), jnp.float32)
     wmat = wmat.at[jnp.arange(n)[:, None],
                    idx.reshape(n, -1)].add(cw.reshape(n, -1))
+    flat = feat.reshape(h * w, c).astype(jnp.float32)
+    return jax.numpy.matmul(wmat, flat, precision=jax.lax.Precision.HIGHEST)
+
+
+def roi_align_mean_upsampled(feat, boxes, output_size, spatial_scale,
+                             upsample: int, sampling_ratio=2):
+    """Pooled ROIAlign over a *virtually* bilinear-upsampled feature map.
+
+    Numerically equals
+        roi_align_mean(resize(feat, upsample x, 'bilinear'), boxes, ...)
+    — the HFRE aux path (reference hybrid...:338-358 upsamples DaViT stages
+    to stage-0 resolution before roi_align) — but never materializes the
+    upsampled map: sampling a bilinearly-upsampled map is itself a linear
+    functional of the original map, so the two interpolations COMPOSE into
+    one scatter-weight matrix at the original resolution. Each tap's 4
+    upsampled-grid corners expand into <=16 original-grid corners. For the
+    [24, 24, 2048] DaViT stage-4 map this replaces a 300MB-per-image fp32
+    upsample (plus its layout copy) with a [N, 576] matmul.
+
+    feat: [h, w, c]; spatial_scale maps box pixels to UPSAMPLED grid units;
+    upsample: integer factor (half-pixel-center bilinear, the
+    F.interpolate(align_corners=False) convention)."""
+    h, w, c = feat.shape
+    n = boxes.shape[0]
+    f = float(upsample)
+    h0, w0 = int(round(h * f)), int(round(w * f))
+    yu0, xu0, yu1, xu1, cw = _pooled_corner_weights(
+        boxes, h0, w0, output_size, spatial_scale, sampling_ratio)
+
+    def split(iu, size):
+        """Upsampled integer index -> (lo, hi, frac) in the original grid
+        (half-pixel centers, edges clamped — matches jax.image.resize /
+        F.interpolate bilinear for integer upscale)."""
+        src = (iu.astype(jnp.float32) + 0.5) / f - 0.5
+        src = jnp.clip(src, 0.0, size - 1)
+        lo = jnp.floor(src).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, size - 1)
+        return lo, hi, src - lo.astype(jnp.float32)
+
+    idx_parts, w_parts = [], []
+    for ci, (yu, xu) in enumerate(((yu0, xu0), (yu0, xu1),
+                                   (yu1, xu0), (yu1, xu1))):
+        ylo, yhi, ty = split(yu, h)
+        xlo, xhi, tx = split(xu, w)
+        base = cw[..., ci]
+        for yy, wy in ((ylo, 1.0 - ty), (yhi, ty)):
+            for xx, wx in ((xlo, 1.0 - tx), (xhi, tx)):
+                idx_parts.append(yy * w + xx)
+                w_parts.append(base * wy * wx)
+    idx = jnp.stack(idx_parts, axis=-1).reshape(n, -1)   # [N, T*16]
+    ws = jnp.stack(w_parts, axis=-1).reshape(n, -1)
+
+    wmat = jnp.zeros((n, h * w), jnp.float32)
+    wmat = wmat.at[jnp.arange(n)[:, None], idx].add(ws)
     flat = feat.reshape(h * w, c).astype(jnp.float32)
     return jax.numpy.matmul(wmat, flat, precision=jax.lax.Precision.HIGHEST)
 
