@@ -100,11 +100,16 @@ def _rotate_half(x):
 
 
 def _apply_rope(x, cos, sin):
-    """x: [B, S, H, hd]; cos/sin: [B, S, hd] fp32."""
-    dt = x.dtype
-    xf = x.astype(jnp.float32)
-    out = xf * cos[:, :, None, :] + _rotate_half(xf) * sin[:, :, None, :]
-    return out.astype(dt)
+    """x: [B, S, H, hd]; cos/sin: [B, S, hd] fp32 angle tables.
+
+    The multiply-add runs in x.dtype (tables are cast down): fp32 inputs
+    (parity tests) match the reference's upcast rotary exactly
+    (modeling:643-685); bf16 serving keeps q/k in bf16 so the attention
+    matmuls stay on the fast MXU path instead of materializing fp32
+    rotate-half intermediates."""
+    out = (x * cos[:, :, None, :].astype(x.dtype)
+           + _rotate_half(x) * sin[:, :, None, :].astype(x.dtype))
+    return out
 
 
 def init_kv_cache(cfg: TextConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
@@ -144,6 +149,8 @@ def _attention(p, cfg: TextConfig, x, cos, sin, mask, layer_cache,
                         preferred_element_type=jnp.float32)
     logits = logits * (1.0 / jnp.sqrt(jnp.float32(hd)))
     logits = jnp.where(mask[:, :, None], logits, jnp.finfo(jnp.float32).min)
+    # bf16 logit storage, f32 softmax internals (see nn.sdpa)
+    logits = logits.astype(x.dtype)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
     out = jnp.einsum("bngsc,bcnh->bsngh", probs, v_all)
     out = out.reshape(b, s, nh * hd)

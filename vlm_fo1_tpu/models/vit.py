@@ -97,15 +97,22 @@ def init_vit_params(key, cfg: ViTConfig, dtype=jnp.float32) -> dict:
 
 
 def _apply_rotary(x, cos, sin):
-    """rotate-half rotary in fp32. x: [..., H, hd]; cos/sin broadcastable to
-    x's shape with the head axis dropped (e.g. [P, hd] against [B, P, H, hd],
-    or [1, W, T, hd] against [B, W, T, H, hd])."""
-    dt = x.dtype
-    xf = x.astype(jnp.float32)
-    half = xf.shape[-1] // 2
-    rot = jnp.concatenate([-xf[..., half:], xf[..., :half]], axis=-1)
-    out = xf * cos[..., None, :] + rot * sin[..., None, :]
-    return out.astype(dt)
+    """rotate-half rotary in x's dtype. x: [..., H, hd]; cos/sin (fp32
+    tables) broadcastable to x's shape with the head axis dropped (e.g.
+    [P, hd] against [B, P, H, hd], or [1, W, T, hd] against
+    [B, W, T, H, hd]).
+
+    The angle tables are always computed in fp32; only the final
+    multiply-add runs in x.dtype. In fp32 (the parity tests) this is
+    bit-identical to the reference's upcast-to-fp32 rotary
+    (modeling_qwen2_5_vl.py:162-169); in bf16 serving it keeps the whole
+    q/k path in bf16 — profiled on v5e, the fp32 rotate-half materialized
+    ~25ms/batch of HBM traffic per encode and forced the attention-logit
+    matmuls onto the 8x-slower fp32 MXU path."""
+    half = x.shape[-1] // 2
+    rot = jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+    return (x * cos[..., None, :].astype(x.dtype)
+            + rot * sin[..., None, :].astype(x.dtype))
 
 
 # full attention switches to the Pallas flash kernel above this sequence
@@ -114,28 +121,39 @@ def _apply_rotary(x, cos, sin):
 FLASH_FULL_ATTN_THRESHOLD = 1024
 
 
-def _window_attention(p, x, cos, sin, mask, num_heads):
-    """Attention within windows, window-major layout throughout.
+def _window_attention(p, x, cos, sin, mask, num_heads, num_windows):
+    """Attention within windows. x: flat [B, P, D] (the padded layout is
+    window-major by construction, so the [B, W, T, ...] view is a free
+    reshape); cos/sin: [W, T, hd]; mask: [W, T, T] (True = attend).
 
-    x: [B, W, T, D]; cos/sin: [W, T, hd]; mask: [W, T, T] (True = attend).
-    Keeping the [B, W, T, D] layout across all window blocks (instead of
-    reshaping flat<->windowed per block) removes the per-block relayout
-    copies that dominated the profiled HBM traffic.
-    """
-    b, w, t, d = x.shape
+    The dense projections run on the FLAT layout: one [B*P, D] matmul per
+    projection instead of a [B, W, ...] batched matmul with M=T rows per
+    batch element, which the profile showed running at a few percent of
+    MXU rate (tiny M, weight re-streamed per window)."""
+    b, pad, d = x.shape
     hd = d // num_heads
-    qkv = nn.linear(p["qkv"], x).reshape(b, w, t, 3, num_heads, hd)
-    q = _apply_rotary(qkv[..., 0, :, :], cos[None], sin[None])
-    k = _apply_rotary(qkv[..., 1, :, :], cos[None], sin[None])
-    v = qkv[..., 2, :, :]
+    w, t = num_windows, pad // num_windows
+    # static minor-dim slices of the fused qkv output: splitting [.., 3D]
+    # into three [.., H, hd] views is layout-free, unlike reshaping to
+    # [.., 3, H, hd] which interleaves the 3-axis above heads and forced a
+    # materialized relayout per block in the profiled HLO
+    qkv = nn.linear(p["qkv"], x)
+    q = qkv[..., :d].reshape(b, w, t, num_heads, hd)
+    k = qkv[..., d:2 * d].reshape(b, w, t, num_heads, hd)
+    v = qkv[..., 2 * d:].reshape(b, w, t, num_heads, hd)
+    q = _apply_rotary(q, cos[None], sin[None])
+    k = _apply_rotary(k, cos[None], sin[None])
 
     logits = jnp.einsum("bwqnh,bwknh->bwnqk", q, k,
                         preferred_element_type=jnp.float32)
     logits = logits * (1.0 / jnp.sqrt(jnp.float32(hd)))
     logits = jnp.where(mask[None, :, None], logits,
                        jnp.finfo(jnp.float32).min)
-    probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bwnqk,bwknh->bwqnh", probs, v).reshape(b, w, t, d)
+    # bf16 logit storage, f32 softmax internals (see nn.sdpa)
+    logits = logits.astype(x.dtype)
+    probs = jax.nn.softmax(logits.astype(jnp.float32),
+                           axis=-1).astype(x.dtype)
+    out = jnp.einsum("bwnqk,bwknh->bwqnh", probs, v).reshape(b, pad, d)
     return nn.linear(p["proj"], out)
 
 
@@ -144,10 +162,12 @@ def _full_attention(p, x, cos, sin, mask, num_heads, *, kv_valid=None):
     cos/sin: [P, hd]; mask: [1, 1, P, P]."""
     b, pad, d = x.shape
     hd = d // num_heads
-    qkv = nn.linear(p["qkv"], x).reshape(b, pad, 3, num_heads, hd)
-    q = _apply_rotary(qkv[:, :, 0], cos, sin)
-    k = _apply_rotary(qkv[:, :, 1], cos, sin)
-    v = qkv[:, :, 2]
+    qkv = nn.linear(p["qkv"], x)
+    q = qkv[..., :d].reshape(b, pad, num_heads, hd)
+    k = qkv[..., d:2 * d].reshape(b, pad, num_heads, hd)
+    v = qkv[..., 2 * d:].reshape(b, pad, num_heads, hd)
+    q = _apply_rotary(q, cos, sin)
+    k = _apply_rotary(k, cos, sin)
 
     if (pad >= FLASH_FULL_ATTN_THRESHOLD
             and jax.default_backend() == "tpu"):
@@ -195,12 +215,12 @@ def vit_forward(
     cos_w = rot_cos.reshape(num_windows, wt, -1)
     sin_w = rot_sin.reshape(num_windows, wt, -1)
 
-    def run_window_block(blk, xw):
+    def run_window_block(blk, x):
         attn_out = _window_attention(
-            blk["attn"], nn.rms_norm(blk["norm1"], xw), cos_w, sin_w,
-            win_mask, cfg.num_heads)
-        xw = xw + attn_out
-        return xw + _mlp(blk["mlp"], nn.rms_norm(blk["norm2"], xw), act)
+            blk["attn"], nn.rms_norm(blk["norm1"], x), cos_w, sin_w,
+            win_mask, cfg.num_heads, num_windows)
+        x = x + attn_out
+        return x + _mlp(blk["mlp"], nn.rms_norm(blk["norm2"], x), act)
 
     def run_full_block(blk, x):
         attn_out = _full_attention(
@@ -211,20 +231,18 @@ def vit_forward(
 
     # two-level scan over the periodic (window* , full) group structure:
     # one traced window block + one traced full block regardless of depth.
-    # Window blocks carry x in window-major [B, W, T, D]; the flat layout
-    # appears only around each full-attention block (4 relayouts instead of
-    # one per block).
+    # Both block kinds carry flat [B, P, D]; the window view is a free
+    # reshape inside the attention einsum (the padded layout is
+    # window-major), so the dense projections always see one large-M
+    # matmul.
     _, wpg = vit_group_structure(cfg)
 
     def group_body(x, gp):
         if wpg > 0:
-            xw = x.reshape(b, num_windows, wt, -1)
+            def win_body(x, wp):
+                return run_window_block(wp, x), None
 
-            def win_body(xw, wp):
-                return run_window_block(wp, xw), None
-
-            xw, _ = jax.lax.scan(win_body, xw, gp["window"])
-            x = xw.reshape(b, pad, -1)
+            x, _ = jax.lax.scan(win_body, x, gp["window"])
         x = run_full_block(gp["full"], x)
         return x, x
 

@@ -188,6 +188,11 @@ def sdpa(q, k, v, mask=None, scale=None):
                         preferred_element_type=jnp.float32) * scale
     if mask is not None:
         logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+    # store logits in the input dtype (f32 accumulation happens in the
+    # matmul; bf16 storage matches the reference's bf16 torch.matmul
+    # output) — the softmax fusion upcasts to f32 internally, so only
+    # half-width logits/probs ever touch HBM on the bf16 path
+    logits = logits.astype(q.dtype)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
     return jnp.einsum("...hqk,...khd->...qhd", probs, v)
 
