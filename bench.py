@@ -172,8 +172,8 @@ def main():
     # overlaps device compute of batch i (runtime/serving.py)
     serving = None
     if batch == 1 and os.environ.get("BENCH_SERVING", "1") == "1":
-        sbatch = int(os.environ.get("BENCH_SERVING_BATCH", "4"))
-        n_batches = int(os.environ.get("BENCH_SERVING_BATCHES", "4"))
+        sbatch = int(os.environ.get("BENCH_SERVING_BATCH", "8"))
+        n_batches = int(os.environ.get("BENCH_SERVING_BATCHES", "5"))
         from vlm_fo1_tpu.runtime.serving import (
             ServingOptions,
             ServingPipeline,
@@ -182,7 +182,7 @@ def main():
         pipe = ServingPipeline(model, ServingOptions(
             batch_size=sbatch, max_new_tokens=decode_tokens,
             max_pixels=max_pixels, eos_token_id=-1,
-            prepare_workers=4, max_in_flight=2))
+            prepare_workers=8, max_in_flight=3))
         try:
             # warm (compiles the batched encode/prefill/decode programs)
             pipe.run([messages] * sbatch)

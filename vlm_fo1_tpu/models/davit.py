@@ -113,8 +113,15 @@ def _window_attention(p, x, num_heads, window):
     y = y.reshape(b, nh, window, nw, window, c).transpose(0, 1, 3, 2, 4, 5)
     y = y.reshape(b * nh * nw, window * window, c)
     hd = c // num_heads
-    qkv = nn.linear(p["qkv"], y).reshape(y.shape[0], y.shape[1], 3, num_heads, hd)
-    out = nn.sdpa(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2])
+    # static minor-dim slices instead of a [.., 3, H, hd] reshape: the
+    # interleaved 3-axis forced a materialized relayout per block (see the
+    # identical fix in vit._window_attention)
+    qkv = nn.linear(p["qkv"], y)
+    wt = window * window
+    q = qkv[..., :c].reshape(-1, wt, num_heads, hd)
+    k = qkv[..., c:2 * c].reshape(-1, wt, num_heads, hd)
+    v = qkv[..., 2 * c:].reshape(-1, wt, num_heads, hd)
+    out = nn.sdpa(q, k, v)
     out = nn.linear(p["proj"], out.reshape(y.shape[0], y.shape[1], c))
     out = out.reshape(b, nh, nw, window, window, c).transpose(0, 1, 3, 2, 4, 5)
     out = out.reshape(b, hp, wp, c)[:, :h, :w]
@@ -131,8 +138,10 @@ def _channel_attention(p, x, groups):
     n = h * w
     y = nn.layer_norm(p["norm"], x).reshape(b, n, c)
     gd = c // groups
-    qkv = nn.linear(p["qkv"], y).reshape(b, n, 3, groups, gd)
-    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, g, gd]
+    qkv = nn.linear(p["qkv"], y)
+    q = qkv[..., :c].reshape(b, n, groups, gd)
+    k = qkv[..., c:2 * c].reshape(b, n, groups, gd)
+    v = qkv[..., 2 * c:].reshape(b, n, groups, gd)
     q = q * (float(n) ** -0.5)
     attn = jnp.einsum("bngc,bngd->bgcd", q, k,
                       preferred_element_type=jnp.float32)
