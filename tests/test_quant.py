@@ -45,8 +45,41 @@ def test_quantize_params_targets_trunk_only(rng):
     # vision towers untouched
     assert "w" in q["vision_tower"]["patch_embed"]["proj"]
     assert "w" in q["mm_projector"]["layers"][0]
-    # embedding untouched (tied head)
+    # embedding untouched (tied head) under the DEFAULT patterns
     assert "w" in q["text"]["embed_tokens"]
+
+
+def test_quantized_embedding_roundtrip_and_tied_head(rng):
+    """ALL_QUANT_PATTERNS row-quantizes the tied embedding: gather and
+    tied-head logits must both track the full-precision path."""
+    import jax
+
+    from vlm_fo1_tpu.config import FO1Config
+    from vlm_fo1_tpu.models import llm
+    from vlm_fo1_tpu.models.fo1 import FO1Model
+    from vlm_fo1_tpu.quant import ALL_QUANT_PATTERNS
+
+    cfg = FO1Config.tiny()
+    model = FO1Model.random_init(cfg, seed=0)
+    emb_full = model.params["text"]["embed_tokens"]["w"]
+    q = quantize_params(jax.tree.map(lambda x: x, model.params),
+                        ALL_QUANT_PATTERNS)
+    emb_q = q["text"]["embed_tokens"]
+    assert "w_q" in emb_q and emb_q["scale"].ndim == 1
+
+    ids = jnp.asarray(rng.integers(0, cfg.text.vocab_size, (2, 5)))
+    got = np.asarray(llm.embed_tokens(q["text"], ids), np.float32)
+    want = np.asarray(jnp.take(emb_full, ids, axis=0), np.float32)
+    denom = np.abs(want).max() or 1.0
+    assert np.abs(got - want).max() / denom < 0.02  # int8 row quant error
+
+    hidden = jnp.asarray(
+        rng.standard_normal((1, 3, cfg.text.hidden_size)).astype(np.float32))
+    lq = np.asarray(llm.lm_head_logits(q["text"], cfg.text, hidden))
+    lf = np.asarray(llm.lm_head_logits(model.params["text"], cfg.text,
+                                       hidden))
+    # relative to the logit magnitude, per-row int8 stays well under 2%
+    assert np.abs(lq - lf).max() / (np.abs(lf).max() or 1.0) < 0.02
 
 
 def test_quantized_generate_close_to_full(rng):

@@ -211,8 +211,16 @@ def text_forward(
 def lm_head_logits(params: dict, cfg: TextConfig, hidden: jnp.ndarray):
     """[B, S, D] -> [B, S, V] fp32 logits (tied or untied head; int8-aware)."""
     if cfg.tie_word_embeddings or "lm_head" not in params:
-        w = params["embed_tokens"]["w"]
-        return jnp.einsum("bsd,vd->bsv", hidden, w,
+        emb = params["embed_tokens"]
+        if "w_q" in emb:
+            # int8 tied head: feed the int8 table to the dot directly and
+            # scale per logit (per-row scales, quant.quantize_embedding) —
+            # halves the dominant decode-loop HBM stream
+            logits = jax.lax.dot_general(
+                hidden, emb["w_q"], (((2,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return logits * emb["scale"]
+        return jnp.einsum("bsd,vd->bsv", hidden, emb["w"],
                           preferred_element_type=jnp.float32)
     head = params["lm_head"]
     if "w_q" in head:

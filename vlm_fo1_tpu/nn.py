@@ -159,6 +159,13 @@ def embedding_init(key, vocab, dim, dtype=jnp.float32, std=0.02):
 def embedding(p, ids):
     # mode="clip": out-of-vocab ids clamp to the last row instead of jnp.take's
     # default NaN fill — keeps sentinel/oversized ids from poisoning the stream
+    if "w_q" in p:
+        # row-quantized table (quant.quantize_embedding): gather int8 rows
+        # and their per-row scales, dequantize only what was looked up
+        rows = jnp.take(p["w_q"], ids, axis=0, mode="clip")
+        scale = jnp.take(p["scale"], ids, axis=0, mode="clip")
+        return (rows.astype(jnp.bfloat16)
+                * scale[..., None].astype(jnp.bfloat16))
     return jnp.take(p["w"], ids, axis=0, mode="clip")
 
 

@@ -41,6 +41,30 @@ def quantize_linear(p: dict) -> dict:
     return out
 
 
+@jax.jit
+def _quantize_rows(w):
+    """[V, D] -> (int8, f32 [V]) with per-ROW absmax scales."""
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    w_q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return w_q, scale.squeeze(-1)
+
+
+def quantize_embedding(p: dict) -> dict:
+    """{"w": [V, D]} -> {"w_q": int8 [V, D], "scale": f32 [V]}.
+
+    Per-vocab-ROW scales serve both consumers of a tied embedding table
+    (config.tie_word_embeddings, the 3B default): the embedding gather
+    dequantizes the few looked-up rows, and the lm-head dot feeds int8 to
+    the MXU and applies the scale per logit. The bf16 tied head was the
+    single biggest decode-loop HBM stream (622MB = 0.82ms/token profiled —
+    XLA hoists any pre-cast out of the loop and streams the full bf16
+    table every step)."""
+    w_q, scale = _quantize_rows(p["w"])
+    return {"w_q": w_q, "scale": scale}
+
+
 DEFAULT_QUANT_PATTERNS = (
     # the decode-bandwidth hot spots: trunk projections + lm head
     r"text/layers/(attn|mlp)/\w+$",
@@ -52,6 +76,8 @@ ALL_QUANT_PATTERNS = DEFAULT_QUANT_PATTERNS + (
     r"vision_tower/blocks/(window|full)/(attn|mlp)/\w+$",
     r"vision_tower_aux/stages/\d+/blocks/\d+/(spatial|channel)/(attn|ffn)/(qkv|proj|fc1|fc2)$",
     r"mm_projector(_aux)?/layers/\d+$",
+    # the (tied) embedding table — row-quantized, see quantize_embedding
+    r"text/embed_tokens$",
 )
 
 
@@ -74,7 +100,9 @@ def quantize_params(params, patterns=DEFAULT_QUANT_PATTERNS):
                 joined = "/".join(path)
                 if any(c.search(joined) for c in compiled) \
                         and node["w"].ndim >= 2:
-                    q = quantize_linear(node)
+                    q = (quantize_embedding(node)
+                         if joined.endswith("embed_tokens")
+                         else quantize_linear(node))
                     jax.block_until_ready(q["w_q"])
                     node.pop("w")  # free the full-precision leaf NOW
                     return q
