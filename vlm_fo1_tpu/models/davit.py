@@ -75,12 +75,26 @@ def _conv_nhwc(p, x, stride=1, padding=0, groups=1):
         stride = (stride, stride)
     if isinstance(padding, int):
         padding = ((padding, padding), (padding, padding))
-    y = jax.lax.conv_general_dilated(
-        x, p["w"], window_strides=stride, padding=padding,
-        dimension_numbers=("NHWC", "OIHW", "NHWC"),
-        feature_group_count=groups,
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    kh, kw = p["w"].shape[-2:]
+    if groups == 1 and x.shape[-1] <= 16 and (kh > 1 or kw > 1):
+        # few-input-channel stem conv (the RGB 7x7/s4): TPU convs with a
+        # 3-deep input channel dim run an order of magnitude below MXU rate
+        # (profiled ~5 TFLOP/s); extract the patches explicitly and do one
+        # dense [*, C*kh*kw] @ [C*kh*kw, O] matmul instead. Patch features
+        # are ordered (C, kh, kw) — exactly the flattened OIHW kernel.
+        pat = jax.lax.conv_general_dilated_patches(
+            x, (kh, kw), window_strides=stride, padding=padding,
+            dimension_numbers=("NHWC", "OIHW", "NHWC"))
+        w2 = p["w"].reshape(p["w"].shape[0], -1).T.astype(x.dtype)
+        y = jnp.einsum("bhwk,ko->bhwo", pat, w2,
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+    else:
+        y = jax.lax.conv_general_dilated(
+            x, p["w"], window_strides=stride, padding=padding,
+            dimension_numbers=("NHWC", "OIHW", "NHWC"),
+            feature_group_count=groups,
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
     if "b" in p:
         y = y + p["b"].astype(y.dtype)
     return y
