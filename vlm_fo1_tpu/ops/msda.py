@@ -174,6 +174,7 @@ def msda_layer(
     n_heads: int,
     n_points: int,
     key_padding_mask: jnp.ndarray | None = None,  # [B, S] True = pad
+    use_4d_normalizer: bool = False,
 ) -> jnp.ndarray:
     """Full MSDeformAttn module forward (reference ms_deform_attn.py:100-204).
     fp32 compute path (the reference disables autocast).
@@ -181,8 +182,10 @@ def msda_layer(
     This also covers the repo's "key-aware" variant
     (ms_deform_attn_key_aware.py:33-130, never exported —
     ops/modules/__init__.py:9): that class accepts a `key` argument but its
-    forward is the same query-driven offsets/weights computation as here,
-    so no separate code path is needed."""
+    forward never reads it — the same query-driven offsets/weights
+    computation as here. Its one real delta, `use_4D_normalizer`
+    (key_aware:118-125: normalize 4-dim-reference offsets by the level W/H
+    instead of /n_points), is exposed as `use_4d_normalizer`."""
     from vlm_fo1_tpu import nn
 
     b, lq, c = query.shape
@@ -206,8 +209,10 @@ def msda_layer(
         loc = (reference_points[:, :, None, :, None, :]
                + offsets / wh[None, None, None, :, None, :])
     elif reference_points.shape[-1] == 4:
+        norm = (wh[None, None, None, :, None, :] if use_4d_normalizer
+                else jnp.float32(n_points))
         loc = (reference_points[:, :, None, :, None, :2]
-               + offsets / n_points
+               + offsets / norm
                * reference_points[:, :, None, :, None, 2:] * 0.5)
     else:
         raise ValueError("reference_points last dim must be 2 or 4")
