@@ -334,11 +334,14 @@ def upn_forward(
 
     prompt_emb = params[prompt][0] if prompt else jnp.zeros(
         (cfg.d_model,), memory.dtype)
-    logits = out_mem @ prompt_emb  # [B, S] contrastive objectness
+    logits = (out_mem @ prompt_emb).astype(jnp.float32)  # [B, S] objectness
     logits = jnp.where(prop_valid, logits, -jnp.inf)
     topk_vals, topk_idx = jax.lax.top_k(logits, cfg.num_queries)
 
-    coords_unsig = _mlp_forward(params["enc_out_bbox_embed"], out_mem) \
+    # box-coordinate chain stays fp32 end to end: near 1.0 a bf16 coord
+    # only resolves ~1/256 (≈5px at the 1333 long side)
+    coords_unsig = _mlp_forward(params["enc_out_bbox_embed"],
+                                out_mem).astype(jnp.float32) \
         + proposals_unsig
     refpoints_unsig = jnp.take_along_axis(coords_unsig, topk_idx[..., None],
                                           axis=1)
@@ -354,7 +357,8 @@ def upn_forward(
         ref_input = ref[:, :, None] * vr4[:, None]           # [B, nq, L, 4]
         # 128 feats/coord at d_model=256 (reference detr_utils.py:276-310)
         qse = sineembed_512(ref_input[:, :, 0, :], d=cfg.d_model // 2)
-        query_pos = _mlp2(params["decoder"]["ref_point_head"], qse)
+        query_pos = _mlp2(params["decoder"]["ref_point_head"],
+                          qse).astype(out.dtype)
         q = out + query_pos
         out = nn.layer_norm(layer["norm2"],
                             out + _mha(layer["self_attn"], q, q, out,
@@ -367,16 +371,17 @@ def upn_forward(
                     "norm3": layer["norm3"]}, out)
         # iterative refinement uses the raw layer output...
         ref_before = ref
-        delta = _mlp_forward(params["bbox_embed"], out)
+        delta = _mlp_forward(params["bbox_embed"], out).astype(jnp.float32)
         ref = jax.nn.sigmoid(delta + inverse_sigmoid(ref))
 
     # ...but the reported boxes recompute the last refinement from the
     # LayerNormed hidden states (reference upn_model.py:110-122 applies
     # bbox_embed to the decoder's normed intermediates)
     hs = nn.layer_norm(params["decoder"]["norm"], out)
-    pred_boxes = jax.nn.sigmoid(_mlp_forward(params["bbox_embed"], hs)
-                                + inverse_sigmoid(ref_before))
-    pred_logits = (hs @ prompt_emb)[..., None]
+    pred_boxes = jax.nn.sigmoid(
+        _mlp_forward(params["bbox_embed"], hs).astype(jnp.float32)
+        + inverse_sigmoid(ref_before))
+    pred_logits = (hs @ prompt_emb).astype(jnp.float32)[..., None]
     return {"pred_boxes": pred_boxes, "pred_logits": pred_logits}
 
 

@@ -40,7 +40,12 @@ def _jit_forward(params, cfg, swin_cfg, image, valid_hw, prompt):
 class UPNWrapper:
     def __init__(self, ckpt_path: str | None = None,
                  cfg: UPNConfig | None = None, swin_cfg=None,
-                 dtype=jnp.float32, seed: int = 0):
+                 dtype=jnp.bfloat16, seed: int = 0):
+        # bf16 default: the MSDA gathers stream multi-GB corner patches per
+        # image and the gather dtype follows the value dtype — bf16 halves
+        # that traffic (2.0s -> see README). The box-coordinate chain inside
+        # upn_forward is pinned to fp32 regardless; pass dtype=jnp.float32
+        # for full-precision features (the parity tests do, via random_init).
         self.cfg = cfg or UPNConfig()
         self.swin_cfg = swin_cfg or swin_large_config()
         if ckpt_path is not None:
