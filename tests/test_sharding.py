@@ -65,6 +65,51 @@ def test_sharded_llm_forward_matches_unsharded(rng):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+def test_quantized_params_tp_specs_and_forward(rng):
+    """int8 leaves inherit the tp_plan: w_q gets w's spec, linear scales
+    get the out-channel sharding, and the sharded quantized forward matches
+    the unsharded quantized forward exactly."""
+    from vlm_fo1_tpu.quant import ALL_QUANT_PATTERNS, quantize_params
+
+    cfg = FO1Config.tiny()
+    model = FO1Model.random_init(cfg, seed=0)
+    qparams = quantize_params(model.params, ALL_QUANT_PATTERNS)
+    mesh = create_mesh(data=2, model=4)
+    specs = param_shardings(qparams, mesh)
+
+    t = specs["text"]["layers"]
+    assert t["attn"]["q_proj"]["w_q"].spec == P(None, None, "model")
+    assert t["attn"]["q_proj"]["scale"].spec == P(None, "model")
+    assert t["attn"]["o_proj"]["w_q"].spec == P(None, "model", None)
+    assert t["attn"]["o_proj"]["scale"].spec == P()
+    assert t["mlp"]["down_proj"]["scale"].spec == P()
+    emb = specs["text"]["embed_tokens"]
+    assert emb["w_q"].spec == P(None, "model")
+    assert emb["scale"].spec == P()   # per-ROW scale: V stays whole
+    assert t["input_layernorm"]["scale"].spec == P()  # norm, not quant
+
+    tcfg = cfg.text
+    b, s = 2, 16
+    ids = jnp.asarray(rng.integers(0, tcfg.vocab_size, (b, s)))
+    tx = qparams["text"]
+    embeds = llm.embed_tokens(tx, ids)
+    pos = jnp.broadcast_to(jnp.arange(s)[None, None], (3, b, s))
+    cos, sin = llm.mrope_cos_sin(pos, tcfg)
+    q = jnp.arange(s)[None, :, None]
+    k = jnp.arange(s)[None, None, :]
+    mask = jnp.broadcast_to((k <= q)[:, None], (b, 1, s, s))
+
+    def fwd(p):
+        hidden, _ = llm.text_forward(p, tcfg, embeds, cos, sin, mask)
+        return llm.lm_head_logits(p, tcfg, hidden)
+
+    want = np.asarray(jax.jit(fwd)(tx))
+    sharded = shard_params({"text": tx}, mesh)["text"]
+    with mesh:
+        got = np.asarray(jax.jit(fwd)(sharded))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
 def test_sharded_train_step_runs_and_matches_loss(rng):
     """The full multimodal train step over a (2,4) mesh: one step, loss
     finite and equal to the unsharded loss."""

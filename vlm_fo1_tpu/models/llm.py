@@ -240,7 +240,10 @@ def lm_head_logits(params: dict, cfg: TextConfig, hidden: jnp.ndarray):
 
 
 def embed_tokens(params: dict, ids: jnp.ndarray):
-    return nn.embedding(params["embed_tokens"], ids)
+    # the final-norm scale carries the model's compute dtype (bf16 serving,
+    # f32 tests) — the quantized-table path dequantizes into it
+    return nn.embedding(params["embed_tokens"], ids,
+                        dtype=params["norm"]["scale"].dtype)
 
 
 def splice_multimodal_embeds(

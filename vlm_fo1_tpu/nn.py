@@ -156,16 +156,18 @@ def embedding_init(key, vocab, dim, dtype=jnp.float32, std=0.02):
     return {"w": lecun_normal(key, (vocab, dim), dtype, std)}
 
 
-def embedding(p, ids):
+def embedding(p, ids, dtype=None):
     # mode="clip": out-of-vocab ids clamp to the last row instead of jnp.take's
     # default NaN fill — keeps sentinel/oversized ids from poisoning the stream
     if "w_q" in p:
         # row-quantized table (quant.quantize_embedding): gather int8 rows
-        # and their per-row scales, dequantize only what was looked up
+        # and their per-row scales, dequantize only what was looked up.
+        # `dtype` sets the activation dtype (callers pass the model compute
+        # dtype; bf16 is the serving default).
+        dt = dtype or jnp.bfloat16
         rows = jnp.take(p["w_q"], ids, axis=0, mode="clip")
         scale = jnp.take(p["scale"], ids, axis=0, mode="clip")
-        return (rows.astype(jnp.bfloat16)
-                * scale[..., None].astype(jnp.bfloat16))
+        return rows.astype(dt) * scale[..., None].astype(dt)
     return jnp.take(p["w"], ids, axis=0, mode="clip")
 
 

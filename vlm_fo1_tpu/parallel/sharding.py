@@ -83,6 +83,31 @@ def param_shardings(params, mesh: Mesh):
 
     def spec_for(path, leaf):
         s = _path_str(path)
+        # int8-quantized leaves reuse the full-precision rules: w_q has w's
+        # exact layout; a linear's per-out-channel scale is w's spec with
+        # the `in` axis (second-to-last) dropped. The embedding's per-ROW
+        # scale ([V] against w_q [V, D~model]) correctly degrades to
+        # replicated via the divisibility check below.
+        if s.endswith("/w_q"):
+            s = s[:-2]
+        elif s.endswith("/scale"):
+            if s.endswith("embed_tokens/scale"):
+                # per-ROW scale [V]; w_q shards D, so V stays whole
+                return NamedSharding(mesh, P())
+            s = s[: -len("scale")] + "w"
+            for pat, spec in _RULES:
+                if re.search(pat, s):
+                    spec = P(*(spec[:-2] + spec[-1:])) if len(spec) >= 2 \
+                        else spec
+                    if all(a is None for a in spec):
+                        spec = P()
+                    ok = all(
+                        name is None
+                        or (dim < leaf.ndim
+                            and leaf.shape[dim] % axis_sizes[name] == 0)
+                        for dim, name in enumerate(spec))
+                    return NamedSharding(mesh, spec if ok else P())
+            return NamedSharding(mesh, P())
         for pat, spec in _RULES:
             if re.search(pat, s):
                 # verify divisibility per sharded dim
