@@ -116,3 +116,55 @@ def test_sharded_train_step_runs_and_matches_loss(rng):
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)  # asserts finite loss internally
+
+
+def test_remat_loss_and_grads_match(rng):
+    """jax.checkpoint'ed trunk (remat=True) must be value- and
+    gradient-identical to the plain scan — it only changes what is stored
+    vs recomputed."""
+    import __graft_entry__ as g
+    from vlm_fo1_tpu.training.train_step import multimodal_lm_loss
+
+    cfg = FO1Config.tiny()
+    model = FO1Model.random_init(cfg, seed=0)
+    prep = g._build_inputs(cfg, image_hw=(112, 112), n_boxes=4,
+                           prompt_extra=8)
+    plan, info = prep["plan"], prep["splice"]
+    s = info.seq_len
+    labels = rng.integers(0, cfg.text.vocab_size, size=(1, s))
+    batch = {
+        "patches": jnp.asarray(
+            np.asarray(prep["pixel_values"])[plan.gather_idx][None],
+            jnp.float32),
+        "rot_cos": jnp.asarray(plan.rot_cos),
+        "rot_sin": jnp.asarray(plan.rot_sin),
+        "valid": jnp.asarray(plan.valid),
+        "inv_unit_idx": jnp.asarray(plan.inv_unit_idx),
+        "inv_token_idx": jnp.asarray(plan.inv_token_idx),
+        "aux_image": jnp.asarray(prep["aux"].transpose(1, 2, 0)[None],
+                                 jnp.float32),
+        "aux_boxes": jnp.asarray(prep["aux_boxes"][None]),
+        "vt_boxes": jnp.asarray(prep["vt_boxes"][None]),
+        "input_ids": jnp.asarray(np.asarray(info.input_ids)[None]),
+        "image_positions": jnp.asarray(
+            np.asarray(info.image_positions)[None]),
+        "region_positions": jnp.asarray(
+            np.asarray(info.region_positions)[None]),
+        "position_ids": jnp.asarray(np.asarray(prep["position_ids"])),
+        "labels": jnp.asarray(labels),
+    }
+    kw = dict(num_windows=plan.num_windows,
+              grid=tuple(int(x) for x in prep["grid"]))
+
+    def run(remat):
+        return jax.value_and_grad(multimodal_lm_loss)(
+            model.params, cfg, batch, remat=remat, **kw)
+
+    l0, g0 = jax.jit(lambda: run(False))()
+    l1, g1 = jax.jit(lambda: run(True))()
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    a0 = np.concatenate([np.asarray(x).ravel()
+                         for x in jax.tree.leaves(g0)])
+    a1 = np.concatenate([np.asarray(x).ravel()
+                         for x in jax.tree.leaves(g1)])
+    np.testing.assert_allclose(a0, a1, rtol=1e-5, atol=1e-6)

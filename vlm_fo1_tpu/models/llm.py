@@ -180,10 +180,16 @@ def text_forward(
     mask: jnp.ndarray,            # [B, 1, S, C] bool, True = attend
     kv_cache: dict | None = None,
     cache_offset=0,
+    remat: bool = False,
 ):
     """Run the decoder trunk via lax.scan over the stacked layer params
     (one traced layer instead of num_hidden_layers copies — keeps compile
-    time flat in depth). Returns (hidden [B,S,D], updated kv_cache)."""
+    time flat in depth). Returns (hidden [B,S,D], updated kv_cache).
+
+    remat=True checkpoints each scanned layer (training: activation memory
+    drops from O(layers) to O(1) residuals at one extra forward of
+    recompute — the jax.checkpoint analog of the reference's
+    gradient-checkpointing hooks, modeling_qwen2_5_vl/davit)."""
     stacked = params["layers"]
 
     if kv_cache is None:
@@ -191,6 +197,8 @@ def text_forward(
             x, _ = _layer(lp, cfg, x, cos, sin, mask, None, cache_offset)
             return x, None
 
+        if remat:
+            body = jax.checkpoint(body)
         x, _ = jax.lax.scan(body, hidden, stacked)
         out_cache = None
     else:

@@ -24,7 +24,8 @@ from vlm_fo1_tpu.models.vit import captures_to_feature_map, vit_forward
 IGNORE = -100
 
 
-def multimodal_lm_loss(params, cfg: FO1Config, batch, *, num_windows, grid):
+def multimodal_lm_loss(params, cfg: FO1Config, batch, *, num_windows, grid,
+                       remat: bool = False):
     """Cross-entropy of next-token prediction over a spliced multimodal
     sequence. batch (per device-batch row b):
       patches [B, P, pd], rot_cos/rot_sin [P, hd], valid [P],
@@ -67,7 +68,7 @@ def multimodal_lm_loss(params, cfg: FO1Config, batch, *, num_windows, grid):
     s = embeds.shape[1]
     mask = (jnp.arange(s)[None, None, :] <= jnp.arange(s)[None, :, None])[:, None]
     hidden, _ = llm.text_forward(params["text"], cfg.text, embeds, cos, sin,
-                                 mask)
+                                 mask, remat=remat)
     logits = llm.lm_head_logits(params["text"], cfg.text, hidden)
 
     labels = batch["labels"]
@@ -81,13 +82,16 @@ def multimodal_lm_loss(params, cfg: FO1Config, batch, *, num_windows, grid):
     return loss
 
 
-def make_train_step(cfg: FO1Config, optimizer, *, num_windows, grid):
+def make_train_step(cfg: FO1Config, optimizer, *, num_windows, grid,
+                    remat: bool = False):
     """Returns train_step(params, opt_state, batch) -> (params, opt_state,
-    loss). jit/pjit-ready: shard params/batch before calling."""
+    loss). jit/pjit-ready: shard params/batch before calling. remat=True
+    checkpoints the trunk layers (O(1) activation memory in depth)."""
 
     def train_step(params, opt_state, batch):
         loss, grads = jax.value_and_grad(multimodal_lm_loss)(
-            params, cfg, batch, num_windows=num_windows, grid=grid)
+            params, cfg, batch, num_windows=num_windows, grid=grid,
+            remat=remat)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
