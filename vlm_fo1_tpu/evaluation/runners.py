@@ -67,7 +67,8 @@ def eval_countbench(model, data_path: str, image_path: str,
 
         pipe = ServingPipeline(model, ServingOptions(
             batch_size=batch_size, max_new_tokens=max_new_tokens,
-            temperature=0.0, top_p=0.05))
+            temperature=0.0, top_p=0.05,
+            prepare_workers=8, max_in_flight=3))
         t0 = time.time()
         results = pipe.run([msgs_of(item) for item in data])
         latencies = [(time.time() - t0) / max(len(data), 1)] * len(data)
@@ -131,7 +132,8 @@ def eval_coco(model, eval_data_path: str, original_data_path: str,
 
         pipe = ServingPipeline(model, ServingOptions(
             batch_size=batch_size, max_new_tokens=max_new_tokens,
-            temperature=0.0, top_p=0.05))
+            temperature=0.0, top_p=0.05,
+            prepare_workers=8, max_in_flight=3))
         msgs_list = [
             _build_messages(os.path.join(img_folder, d["image"]),
                             d["conversations"][0]["value"], d["bbox_list"])
