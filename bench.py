@@ -85,6 +85,12 @@ def main():
                 pats = (ALL_QUANT_PATTERNS if quant == "int8-all"
                         else DEFAULT_QUANT_PATTERNS)
                 model.params = quantize_params(model.params, pats)
+            elif quant.startswith("int4") and preset != "tiny":
+                # the load_4bit serving config: packed int4 trunk
+                # (Pallas VMEM-unpack matmul), memory-optimal
+                from vlm_fo1_tpu.quant import quantize_params_int4
+
+                model.params = quantize_params_int4(model.params)
         if cache:
             from vlm_fo1_tpu.training.checkpointing import (
                 save_params_safetensors,
@@ -173,7 +179,7 @@ def main():
     serving = None
     if batch == 1 and os.environ.get("BENCH_SERVING", "1") == "1":
         sbatch = int(os.environ.get("BENCH_SERVING_BATCH", "8"))
-        n_batches = int(os.environ.get("BENCH_SERVING_BATCHES", "5"))
+        n_batches = int(os.environ.get("BENCH_SERVING_BATCHES", "6"))
         from vlm_fo1_tpu.runtime.serving import (
             ServingOptions,
             ServingPipeline,
