@@ -198,11 +198,17 @@ def vit_forward(
     num_windows: int,
     inv_unit_idx: jnp.ndarray,  # [U] padded-unit slot per original merge unit
     capture_multi_level: bool = True,
+    remat: bool = False,
 ):
     """Returns:
         tokens: [B, U, out_hidden] merged vision tokens in original order
         captures: [G, B, P, D] hidden states at the full-attention blocks
             (padded window order; G == len(fullatt_block_indexes)).
+
+    remat=True checkpoints each scanned window block (training-memory
+    analog of the reference's gradient-checkpointing hooks,
+    qwen2_5_vl_encoder.py:141-144); full-attention blocks stay stored —
+    their outputs are the multi-level captures anyway.
     """
     b, pad, _ = patches.shape
     act = nn.ACT[cfg.hidden_act]
@@ -242,6 +248,8 @@ def vit_forward(
             def win_body(x, wp):
                 return run_window_block(wp, x), None
 
+            if remat:
+                win_body = jax.checkpoint(win_body)
             x, _ = jax.lax.scan(win_body, x, gp["window"])
         x = run_full_block(gp["full"], x)
         return x, x

@@ -36,7 +36,8 @@ def multimodal_lm_loss(params, cfg: FO1Config, batch, *, num_windows, grid,
     tokens, captures = vit_forward(
         params["vision_tower"], cfg.vision, batch["patches"],
         batch["rot_cos"], batch["rot_sin"], batch["valid"],
-        num_windows=num_windows, inv_unit_idx=batch["inv_unit_idx"])
+        num_windows=num_windows, inv_unit_idx=batch["inv_unit_idx"],
+        remat=remat)
     vis = projector_forward(params["mm_projector"], cfg.mm_projector_type,
                             tokens)  # [B, U, D]
     vt_map = captures_to_feature_map(captures, batch["inv_token_idx"], grid,
