@@ -133,3 +133,27 @@ def test_upsampled_pooling_matches_materialized_resize(rng):
                                        sampling_ratio=2)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=2e-6, rtol=1e-5)
+
+
+def test_upsampled_pooling_grad_matches_materialized(rng):
+    """d(pool over virtual upsample)/d(feat) == d(pool over materialized
+    resize)/d(feat) — the composed weights must be the true linearization."""
+    from vlm_fo1_tpu.ops.roi_align import roi_align_mean_upsampled
+
+    h, w, c, f = 16, 16, 4, 4
+    feat = jnp.asarray(rng.standard_normal((h, w, c)).astype(np.float32))
+    boxes = jnp.asarray(np.array([[2.0, 2.0, 50.0, 58.0],
+                                  [10.0, 0.0, 63.0, 40.0]], np.float32))
+
+    def via_resize(x):
+        up = jax.image.resize(x, (h * f, w * f, c), method="bilinear")
+        return roi_align_mean(up, boxes, 7, 0.25, sampling_ratio=2).sum()
+
+    def via_virtual(x):
+        return roi_align_mean_upsampled(x, boxes, 7, 0.25, upsample=f,
+                                        sampling_ratio=2).sum()
+
+    g_ref = jax.grad(via_resize)(feat)
+    g_got = jax.grad(via_virtual)(feat)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               atol=2e-6, rtol=1e-5)
