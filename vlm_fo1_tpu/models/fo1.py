@@ -207,6 +207,33 @@ def _splice_embeds_batched(params_text, input_ids, image_feats,
     return scratch[:, :L]
 
 
+@partial(jax.jit, static_argnames=("cfg", "gen_cfg", "num_windows", "grid",
+                                   "pad_len", "cache_len"))
+def _serve_batch(params, cfg: FO1Config, gen_cfg, patches, rot_cos, rot_sin,
+                 valid, inv_unit_idx, inv_token_idx, aux_image, aux_boxes,
+                 vt_boxes, ids, img_pos, reg_pos, pos, seq_lens, deltas, rng,
+                 *, num_windows: int, grid: tuple, pad_len: int,
+                 cache_len: int):
+    """The whole serving step — batched encode, embedding splice, prefill and
+    the decode loop — as ONE compiled program. On the tunneled device link
+    every program launch and transfer enqueue carries real latency, so the
+    multi-program path (6 launches per batch) leaves the device idle between
+    programs; fusing them removes those gaps and lets XLA reuse the
+    intermediate buffers. Returns (tokens [B, max_new], num_steps)."""
+    vtok, rtok = _encode_image_and_regions_batched.__wrapped__(
+        params, cfg, patches, rot_cos, rot_sin, valid, inv_unit_idx,
+        inv_token_idx, aux_image, aux_boxes, vt_boxes,
+        num_windows=num_windows, grid=grid)
+    embeds = _splice_embeds_batched.__wrapped__(
+        params["text"], ids, vtok, img_pos, rtok, reg_pos, pad_len=pad_len)
+    cache, first_logits = prefill.__wrapped__(
+        params["text"], cfg.text, embeds, pos, seq_lens, cache_len=cache_len)
+    tokens, steps, _ = decode_loop.__wrapped__(
+        params["text"], cfg.text, gen_cfg, cache, first_logits, seq_lens,
+        deltas, rng, prompt_pad=pad_len)
+    return tokens, steps
+
+
 @dataclass
 class GenerationResult:
     text: str
@@ -464,6 +491,15 @@ class FO1Model:
         timer = timer or StageTimer()
         with timer.stage("prepare"):
             prep = self.prepare(messages, max_pixels=max_pixels)
+        if not profiling and streamer is None and self._fusable([prep]):
+            # single-stream latency rides the same one-launch program as
+            # batched serving (per-launch latency dominates small prompts
+            # on the tunneled link)
+            handle = self._launch_fused(
+                [prep], max_new_tokens=max_new_tokens,
+                temperature=temperature, top_p=top_p, seed=seed,
+                eos_token_id=eos_token_id)
+            return self.finish_batch(handle)[0]
         with timer.stage("encode"):
             vision_tokens, region_tokens, nb, region_padded = self.encode(prep)
             if profiling:
@@ -519,6 +555,63 @@ class FO1Model:
         return GenerationResult(text=text, token_ids=out,
                                 prompt_len=s, num_steps=steps)
 
+    @staticmethod
+    def _fusable(preps: list[dict]) -> bool:
+        """True when a batch can run as the single fused serving program:
+        single-image prompts sharing one geometry (so the vision inputs
+        stack and every row has the same image-token count)."""
+        return (
+            all(p.get("first_is_image", True) and len(p["plans"]) == 1
+                for p in preps)
+            and len({tuple(int(g) for g in p["grid"])
+                     for p in preps}) == 1)
+
+    def _launch_fused(
+        self,
+        preps: list[dict],
+        max_new_tokens: int = 512,
+        temperature: float = 0.0,
+        top_p: float = 1.0,
+        seed: int = 0,
+        eos_token_id: int | None = None,
+    ) -> dict:
+        """launch_batch via the single fused program (_serve_batch): one
+        device launch per batch instead of encode + splice + prefill +
+        decode (+ stacks) — the per-program launch latency on the tunneled
+        link was a measurable share of the serving cycle."""
+        cfg = self.cfg
+        enc = self._stack_batch_inputs(preps)
+        b = len(preps)
+        splices = [p["splice"] for p in preps]
+        seq_lens = np.array([s.seq_len for s in splices], np.int32)
+        pad_len = pad_to_bucket(int(seq_lens.max()), 128)
+        ids = np.zeros((b, pad_len), np.int32)
+        img_pos = np.empty((b, len(splices[0].image_positions)), np.int32)
+        reg_pos = np.full((b, enc["nb"]), pad_len, np.int32)
+        pos = np.zeros((3, b, pad_len), np.int32)
+        for i, (p, info) in enumerate(zip(preps, splices)):
+            ids[i, :info.seq_len] = info.input_ids
+            img_pos[i] = info.image_positions
+            reg_pos[i, :len(info.region_positions)] = info.region_positions
+            pos[:, i, :info.seq_len] = p["position_ids"][:, 0]
+        deltas = np.array([int(p["rope_deltas"][0, 0]) for p in preps],
+                          np.int32)
+
+        eos = cfg.eos_token_id if eos_token_id is None else eos_token_id
+        gen_cfg = GenerationConfig(
+            max_new_tokens=max_new_tokens, temperature=temperature,
+            top_p=top_p, eos_token_id=eos, pad_token_id=cfg.pad_token_id)
+        tokens, steps = _serve_batch(
+            self.params, cfg, gen_cfg, enc["patches"], *enc["plan_arrays"],
+            enc["aux"], enc["aux_boxes"], enc["vt_boxes"], jnp.asarray(ids),
+            jnp.asarray(img_pos), jnp.asarray(reg_pos), jnp.asarray(pos),
+            jnp.asarray(seq_lens), jnp.asarray(deltas),
+            jax.random.PRNGKey(seed), num_windows=enc["num_windows"],
+            grid=enc["grid"], pad_len=pad_len,
+            cache_len=pad_len + max_new_tokens)
+        return {"tokens": tokens, "steps": steps, "seq_lens": seq_lens,
+                "eos": eos}
+
     def _encode_many(self, preps: list[dict]):
         """Encode a list of prepared inputs, batching same-geometry
         single-image items through one _encode_image_and_regions_batched
@@ -535,7 +628,18 @@ class FO1Model:
                 vision_tokens, _, nb, region_padded = self.encode(p)
                 out.append((p["splice"], nb, vision_tokens, region_padded))
             return out
-        cfg = self.cfg
+        enc = self._stack_batch_inputs(preps)
+        vtok, rtok = _encode_image_and_regions_batched(
+            self.params, self.cfg, enc["patches"], *enc["plan_arrays"],
+            enc["aux"], enc["aux_boxes"], enc["vt_boxes"],
+            num_windows=enc["num_windows"], grid=enc["grid"])
+        return [(p["splice"], enc["nb"], vtok[i], rtok[i])
+                for i, p in enumerate(preps)]
+
+    def _stack_batch_inputs(self, preps: list[dict]) -> dict:
+        """Host-side stacking + device transfer of a same-geometry batch's
+        vision inputs (shared by the batched encode and the fused serving
+        program)."""
         plan = preps[0]["plan"]
         grid = preps[0]["grid"]
         dt = _model_float_dtype(self.params["vision_tower"])
@@ -551,17 +655,16 @@ class FO1Model:
                         else p["aux"].transpose(1, 2, 0) for p in preps])
         aux_b = np.stack([padded(p["aux_boxes"]) for p in preps])
         vt_b = np.stack([padded(p["vt_boxes"]) for p in preps])
-        rot_cos, rot_sin, valid, inv_u, inv_t = self._device_plan(grid, plan)
         patches_d = jnp.asarray(patches) if patches.dtype == np.uint8 \
             else jnp.asarray(patches, dtype=dt)
         aux_d = jnp.asarray(aux) if aux.dtype == np.uint8 \
             else jnp.asarray(aux, dtype=dt)
-        vtok, rtok = _encode_image_and_regions_batched(
-            self.params, cfg, patches_d, rot_cos, rot_sin, valid, inv_u,
-            inv_t, aux_d, jnp.asarray(aux_b), jnp.asarray(vt_b),
-            num_windows=plan.num_windows, grid=grid)
-        return [(p["splice"], nb, vtok[i], rtok[i])
-                for i, p in enumerate(preps)]
+        return {
+            "patches": patches_d, "aux": aux_d,
+            "aux_boxes": jnp.asarray(aux_b), "vt_boxes": jnp.asarray(vt_b),
+            "plan_arrays": self._device_plan(grid, plan),
+            "num_windows": plan.num_windows, "grid": grid, "nb": nb,
+        }
 
     def generate_batch(
         self,
@@ -599,6 +702,10 @@ class FO1Model:
         `finish_batch` blocks and decodes. The launch/finish split is what
         lets a serving pipeline overlap host preprocessing of the next batch
         with device compute of this one (runtime/serving.py)."""
+        if self._fusable(preps):
+            return self._launch_fused(
+                preps, max_new_tokens=max_new_tokens, temperature=temperature,
+                top_p=top_p, seed=seed, eos_token_id=eos_token_id)
         cfg = self.cfg
         splices = self._encode_many(preps)
 
