@@ -181,7 +181,10 @@ def main():
     serving = None
     if batch == 1 and os.environ.get("BENCH_SERVING", "1") == "1":
         sbatch = int(os.environ.get("BENCH_SERVING_BATCH", "8"))
-        n_batches = int(os.environ.get("BENCH_SERVING_BATCHES", "6"))
+        # long enough that pipeline fill/drain (~1 batch-time; the device
+        # profile shows back-to-back program executions with <0.1ms gaps)
+        # doesn't dominate the steady-state estimate
+        n_batches = int(os.environ.get("BENCH_SERVING_BATCHES", "12"))
         from vlm_fo1_tpu.runtime.serving import (
             ServingOptions,
             ServingPipeline,

@@ -223,3 +223,24 @@ def test_serving_pipeline_matches_generate_batch(model, rng):
     for r, e in zip(out, ref):
         np.testing.assert_array_equal(r.token_ids, e.token_ids)
         assert r.prompt_len == e.prompt_len
+
+
+def test_fused_program_matches_multi_program_path(model, rng, monkeypatch):
+    """_serve_batch (the one-launch serving program) must produce the same
+    tokens as the multi-program encode/splice/prefill/decode path it fuses —
+    the fused path is a scheduling optimization, not a numerics change."""
+    msgs = [_messages(rng, n_boxes=2), _messages(rng, n_boxes=4)]
+    msgs[1][0]["content"][1]["text"] = "count the oranges"
+    preps_a = [model.prepare(m, max_pixels=128 * 128) for m in msgs]
+    assert model._fusable(preps_a)
+    fused = model.finish_batch(model.launch_batch(
+        preps_a, max_new_tokens=5))
+
+    monkeypatch.setattr(FO1Model, "_fusable",
+                        staticmethod(lambda preps: False))
+    preps_b = [model.prepare(m, max_pixels=128 * 128) for m in msgs]
+    ref = model.finish_batch(model.launch_batch(preps_b, max_new_tokens=5))
+
+    for f, r in zip(fused, ref):
+        np.testing.assert_array_equal(f.token_ids, r.token_ids)
+        assert f.prompt_len == r.prompt_len
