@@ -125,3 +125,43 @@ def test_upn_wrapper_inference_and_filter(rng):
     assert len(det["original_xyxy_boxes"][0]) >= 1
     det2 = upn.filter(raw, min_score=2.0)  # nothing survives
     assert det2["original_xyxy_boxes"] == []
+
+
+def test_upn_config_from_reference_config_dict(tmp_path):
+    """The reference's declarative mmengine config (configs/upn_large.py)
+    ingests into the typed UPNConfig — both as a dict and as a config .py
+    file (Config.fromfile equivalent)."""
+    model_cfg = {
+        "type": "UPN",
+        "num_queries": 900,
+        "transformer_cfg": {
+            "type": "DeformableTransformer",
+            "num_queries": 900,
+            "num_feature_levels": 5,
+            "encoder_cfg": {
+                "type": "UPNEncoder", "d_model": 256, "num_layers": 6,
+                "encoder_layer_cfg": {"d_model": 256, "d_ffn": 2048,
+                                      "n_heads": 8, "n_levels": 5},
+            },
+            "decoder_cfg": {"type": "UPNDecoder", "d_model": 256,
+                            "num_layers": 6},
+        },
+        "vision_backbone_cfg": {
+            "type": "SwinWrapper", "backbone_cfg": "swin_L_384_22k",
+            "position_embedding_cfg": {"num_pos_feats": 128,
+                                       "temperatureH": 20,
+                                       "temperatureW": 20},
+        },
+    }
+    cfg = UPNConfig.from_config_dict(model_cfg)
+    assert cfg == UPNConfig()  # upn_large == our defaults
+
+    py = tmp_path / "upn_large.py"
+    py.write_text(f"model = {model_cfg!r}\n")
+    assert UPNConfig.from_config_file(str(py)) == UPNConfig()
+
+    # non-default hyperparameters flow through
+    model_cfg["transformer_cfg"]["encoder_cfg"]["num_layers"] = 3
+    model_cfg["num_queries"] = 300
+    cfg2 = UPNConfig.from_config_dict(model_cfg)
+    assert cfg2.num_encoder_layers == 3 and cfg2.num_queries == 300

@@ -47,6 +47,47 @@ class UPNConfig:
     pos_feats: int = 128
     pos_temperature: float = 20.0
 
+    @classmethod
+    def from_config_dict(cls, model_cfg: dict) -> "UPNConfig":
+        """Ingest the reference's declarative config structure (the
+        `model=dict(...)` tree of configs/upn_large.py:1-73, which the
+        reference instantiates through mmengine registries —
+        builder.py:3-39). The nested type= dicts collapse into this typed
+        config; unknown keys are ignored, matching mmengine's permissive
+        build."""
+        t = model_cfg.get("transformer_cfg", {})
+        enc = t.get("encoder_cfg", {})
+        dec = t.get("decoder_cfg", {})
+        layer = enc.get("encoder_layer_cfg", {})
+        pos = (model_cfg.get("vision_backbone_cfg", {})
+               .get("position_embedding_cfg", {}))
+        return cls(
+            d_model=layer.get("d_model", cls.d_model),
+            n_heads=layer.get("n_heads", cls.n_heads),
+            num_feature_levels=t.get("num_feature_levels",
+                                     layer.get("n_levels",
+                                               cls.num_feature_levels)),
+            num_encoder_layers=enc.get("num_layers", cls.num_encoder_layers),
+            num_decoder_layers=dec.get("num_layers", cls.num_decoder_layers),
+            d_ffn=layer.get("d_ffn", cls.d_ffn),
+            num_queries=model_cfg.get("num_queries", cls.num_queries),
+            pos_feats=pos.get("num_pos_feats", cls.pos_feats),
+            pos_temperature=float(pos.get("temperatureH",
+                                          cls.pos_temperature)),
+        )
+
+    @classmethod
+    def from_config_file(cls, path: str) -> "UPNConfig":
+        """Load a reference-style python config file (mmengine
+        Config.fromfile equivalent): executes the file and reads its
+        `model` dict."""
+        ns: dict = {}
+        with open(path) as f:
+            exec(compile(f.read(), path, "exec"), ns)  # noqa: S102
+        if "model" not in ns:
+            raise ValueError(f"{path} defines no `model` dict")
+        return cls.from_config_dict(ns["model"])
+
 
 def inverse_sigmoid(x, eps=1e-3):
     x = jnp.clip(x, 0.0, 1.0)

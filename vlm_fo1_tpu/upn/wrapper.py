@@ -39,8 +39,15 @@ def _jit_forward(params, cfg, swin_cfg, image, valid_hw, prompt):
 
 class UPNWrapper:
     def __init__(self, ckpt_path: str | None = None,
-                 cfg: UPNConfig | None = None, swin_cfg=None,
+                 cfg: UPNConfig | dict | str | None = None, swin_cfg=None,
                  dtype=jnp.bfloat16, seed: int = 0):
+        # cfg may be a typed UPNConfig, a reference-style `model` dict, or
+        # a path to a reference config .py (mmengine Config.fromfile
+        # equivalent — inference_wrapper.py:16-26)
+        if isinstance(cfg, str):
+            cfg = UPNConfig.from_config_file(cfg)
+        elif isinstance(cfg, dict):
+            cfg = UPNConfig.from_config_dict(cfg)
         # bf16 default: the MSDA gathers stream multi-GB corner patches per
         # image and the gather dtype follows the value dtype — bf16 halves
         # that traffic (2.0s -> see README). The box-coordinate chain inside
