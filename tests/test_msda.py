@@ -127,3 +127,110 @@ def test_patch_gather_core_matches_row_gather_oracle(rng):
     g = jax.grad(lambda v: ms_deform_attn_core(v, shapes, loc, w).sum())(value)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_pallas_core_matches_xla_core(rng):
+    """The Pallas TPU kernel (interpret mode on CPU) vs the XLA gather core,
+    including out-of-bounds windows, D=32 quad packing, and query counts that
+    don't divide the block size."""
+    from vlm_fo1_tpu.ops.msda_pallas import ms_deform_attn_core_fast
+
+    shapes = ((6, 8), (3, 4), (2, 2))
+    s = sum(h * w for h, w in shapes)
+    b, lq, m, p, d = 2, 37, 2, 4, 32
+    value = rng.standard_normal((b, s, m, d)).astype(np.float32)
+    loc = rng.uniform(-0.3, 1.3, (b, lq, m, len(shapes), p, 2)).astype(
+        np.float32)
+    w = np.asarray(jax.nn.softmax(jnp.asarray(
+        rng.standard_normal((b, lq, m, len(shapes) * p)).astype(np.float32))
+    ).reshape(b, lq, m, len(shapes), p))
+
+    want = np.asarray(ms_deform_attn_core(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w)))
+    got = np.asarray(ms_deform_attn_core_fast(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w),
+        True, 16))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+    # bf16 values (the production UPN dtype)
+    want_b = np.asarray(ms_deform_attn_core(
+        jnp.asarray(value, jnp.bfloat16), shapes, jnp.asarray(loc),
+        jnp.asarray(w)))
+    got_b = np.asarray(ms_deform_attn_core_fast(
+        jnp.asarray(value, jnp.bfloat16), shapes, jnp.asarray(loc),
+        jnp.asarray(w), True, 16))
+    np.testing.assert_allclose(got_b, want_b, atol=1e-5, rtol=1e-5)
+
+
+def test_pallas_core_grad_falls_back_to_xla(rng):
+    """custom_vjp backward = autodiff of the XLA core; grads match."""
+    from vlm_fo1_tpu.ops.msda_pallas import ms_deform_attn_core_fast
+
+    shapes = ((4, 6), (2, 3))
+    s = sum(h * w for h, w in shapes)
+    b, lq, m, p, d = 1, 5, 1, 2, 32
+    value = jnp.asarray(rng.standard_normal((b, s, m, d)).astype(np.float32))
+    loc = jnp.asarray(rng.uniform(0.1, 0.9, (b, lq, m, len(shapes), p, 2))
+                      .astype(np.float32))
+    w = jnp.asarray(np.full((b, lq, m, len(shapes), p),
+                            1.0 / (len(shapes) * p), np.float32))
+
+    g_fast = jax.grad(
+        lambda v, l, a: ms_deform_attn_core_fast(
+            v, shapes, l, a, True, 8).sum(), argnums=(0, 1, 2))(value, loc, w)
+    g_ref = jax.grad(
+        lambda v, l, a: ms_deform_attn_core(
+            v, shapes, l, a).sum(), argnums=(0, 1, 2))(value, loc, w)
+    for gf, gr in zip(g_fast, g_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_msda_layer_backend_dispatch(rng):
+    """msda_layer(backend="pallas") (interpret on CPU via env) matches the
+    default XLA path."""
+    import os
+
+    d_model, heads, points = 256, 8, 4
+    p = msda_layer_init(jax.random.PRNGKey(0), d_model, len(SHAPES), heads,
+                        points)
+    # non-zero offsets/weights so the test exercises real sampling spread
+    p["sampling_offsets"]["w"] = 0.1 * jnp.asarray(
+        rng.standard_normal(p["sampling_offsets"]["w"].shape), jnp.float32)
+    p["attention_weights"]["w"] = jnp.asarray(
+        rng.standard_normal(p["attention_weights"]["w"].shape), jnp.float32)
+    b, lq = 1, 9
+    s = sum(h * w for h, w in SHAPES)
+    q = jnp.asarray(rng.standard_normal((b, lq, d_model)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, s, d_model)).astype(np.float32))
+    ref2 = jnp.asarray(rng.uniform(0, 1, (b, lq, len(SHAPES), 2))
+                       .astype(np.float32))
+    want = msda_layer(p, q, ref2, v, SHAPES, heads, points, backend="xla")
+    os.environ["VLM_FO1_MSDA_INTERPRET"] = "1"
+    try:
+        got = msda_layer(p, q, ref2, v, SHAPES, heads, points,
+                         backend="pallas")
+    finally:
+        del os.environ["VLM_FO1_MSDA_INTERPRET"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_pallas_core_chunked_levels_match(rng):
+    """Large level maps are processed in row bands (VMEM chunking);
+    band-split output must equal the single-pass result."""
+    from vlm_fo1_tpu.ops.msda_pallas import _msda_pallas
+
+    shapes = ((10, 12), (5, 6))
+    s = sum(h * w for h, w in shapes)
+    b, lq, m, p, d = 1, 50, 2, 4, 32
+    value = jnp.asarray(rng.standard_normal((b, s, m, d)).astype(np.float32))
+    loc = jnp.asarray(rng.uniform(-0.2, 1.2, (b, lq, m, len(shapes), p, 2))
+                      .astype(np.float32))
+    w = jax.nn.softmax(jnp.asarray(
+        rng.standard_normal((b, lq, m, len(shapes) * p)).astype(np.float32)),
+        -1).reshape(b, lq, m, len(shapes), p)
+    want = np.asarray(ms_deform_attn_core(value, shapes, loc, w))
+    got = np.asarray(_msda_pallas(value, shapes, loc, w, n_points=p,
+                                  interpret=True, qb=16, chunk_rows=48))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)

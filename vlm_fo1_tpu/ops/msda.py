@@ -175,6 +175,7 @@ def msda_layer(
     n_points: int,
     key_padding_mask: jnp.ndarray | None = None,  # [B, S] True = pad
     use_4d_normalizer: bool = False,
+    backend: str | None = None,  # None/"auto" | "pallas" | "xla"
 ) -> jnp.ndarray:
     """Full MSDeformAttn module forward (reference ms_deform_attn.py:100-204).
     fp32 compute path (the reference disables autocast).
@@ -217,5 +218,26 @@ def msda_layer(
     else:
         raise ValueError("reference_points last dim must be 2 or 4")
 
-    out = ms_deform_attn_core(value, spatial_shapes, loc, aw)
+    out = _dispatch_core(value, spatial_shapes, loc, aw, backend)
     return nn.linear(p["output_proj"], out.astype(query.dtype))
+
+
+def _dispatch_core(value, spatial_shapes, loc, aw, backend=None):
+    """Pick the MSDA sampling core. On TPU the Pallas kernel
+    (ops/msda_pallas.py) replaces the XLA gather formulation — XLA:TPU
+    lowers the gather to a serial slice loop that is ~1000x slower at the
+    800x1333 encoder workload. Env override: VLM_FO1_MSDA_BACKEND."""
+    import os
+
+    backend = backend or os.environ.get("VLM_FO1_MSDA_BACKEND", "auto")
+    d = value.shape[-1]
+    if backend == "auto":
+        backend = ("pallas" if jax.default_backend() == "tpu"
+                   and (4 * d) % 128 == 0 else "xla")
+    if backend == "pallas":
+        from vlm_fo1_tpu.ops.msda_pallas import ms_deform_attn_core_fast
+
+        interpret = os.environ.get("VLM_FO1_MSDA_INTERPRET") == "1"
+        return ms_deform_attn_core_fast(value, tuple(spatial_shapes), loc, aw,
+                                        interpret)
+    return ms_deform_attn_core(value, spatial_shapes, loc, aw)

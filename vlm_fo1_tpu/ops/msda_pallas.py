@@ -1,0 +1,279 @@
+"""Pallas TPU kernel for multi-scale deformable attention.
+
+The XLA formulation in `ops/msda.py` expresses the bilinear sampling as
+`lax.gather` with (2,2,1,D) slices; XLA:TPU lowers arbitrary gathers to a
+serial HBM-latency-bound slice loop, which makes the UPN encoder (several
+million samples per layer at 800x1333) minutes-slow. This kernel replaces the
+gather with dynamic VMEM vector loads, the TPU-native way to do
+data-dependent addressing (reference CUDA equivalent: the im2col forward
+kernel at detect_tools/upn/ops/src/cuda/ms_deform_im2col_cuda.cuh:237-299).
+
+Design:
+
+- **Quad packing.** For each padded level map [Hp*Wp, D] we precompute, with
+  cheap vectorized XLA shifts, a map
+
+      val4[r] = concat(val[r], val[r+1], val[r+Wp], val[r+Wp+1])  # [R, 4D]
+
+  so a sample's whole 2x2 bilinear neighborhood is ONE row of 4*D = 128
+  lanes (D = 32 for UPN's d_model 256 / 8 heads) — a single dynamic VMEM
+  load per sample, fully using the vector unit's lane width. (In VMEM this
+  packing is free: a [R, 32] map would be lane-padded to 128 anyway.)
+
+- **Aligned loads.** Mosaic requires dynamic sublane offsets to be provably
+  8-aligned, so the kernel fetches the aligned (8, 4D) block containing the
+  row and selects the target row with an iota mask + sublane reduction; the
+  select/reduce runs in the value dtype (exact: the 7 other lanes are exact
+  zeros), converting only the selected row to f32.
+
+- **Weight expansion.** The four bilinear corner weights (already folded
+  with the softmaxed attention weight and grid_sample's zero-padding
+  validity) are expanded to the quad lane layout by one small MXU matmul per
+  query block against a constant [4P, P*4D] expansion matrix.
+
+- **Level chunking.** A level map must fit in VMEM; stride-4 level-0 maps
+  (e.g. 224x256 at the 896x1024 bucket, ~15 MB quad-packed bf16) do not,
+  double-buffered. Large levels are split into row bands of at most
+  `_CHUNK_ROWS`; each band's kernel invocation zeroes the weights of
+  out-of-band samples, and a per-8-query-group occupancy flag (in SMEM)
+  skips groups with no in-band samples, so total work stays ~one pass over
+  the samples regardless of chunk count.
+
+Numerics match `ms_deform_attn_core` exactly up to the dtype of the packed
+map (the production UPN path runs bf16 values; accumulation is f32, like the
+reference's fp16->fp32 upcast path ms_deform_attn.py:181-193).
+
+Gradients: the kernel is forward-only; `ms_deform_attn_core_fast` wraps it in
+a custom_vjp whose backward differentiates the XLA reference formulation —
+UPN is inference-only (SURVEY §2.2), so that path only serves `jax.grad`
+parity tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vlm_fo1_tpu.ops.msda import ms_deform_attn_core
+
+_LANES = 128
+# bytes per VMEM-resident band of a level map (doubled by pipelining buffers;
+# a 200x336 stride-4 level-0 map splits into ~4 bands at bf16)
+_CHUNK_BYTES = 5 * 1024 * 1024
+
+
+def _expansion_matrix(n_points: int, d: int) -> np.ndarray:
+    """[4*P, P*4*D] matrix: row (p*4+c) has ones in lanes
+    [p*4D + c*D, p*4D + (c+1)*D) — expands per-corner scalars to the
+    quad-packed lane layout."""
+    ex = np.zeros((4 * n_points, n_points * 4 * d), np.float32)
+    for p in range(n_points):
+        for c in range(4):
+            ex[p * 4 + c, p * 4 * d + c * d:p * 4 * d + (c + 1) * d] = 1.0
+    return ex
+
+
+def _msda_level_kernel(starts_ref, gflag_ref, w4_ref, ex_ref, val4_ref,
+                       out_ref, w128_ref, *, n_points: int, d: int, qb: int):
+    # starts: [1, QB, P] int32 SMEM   gflag: [1, QB//8, 1] int32 SMEM
+    # w4: [1, QB, 4P] f32   ex: [4P, P*4D] f32   val4: [1, R, 4D]
+    # out: [1, QB, D] f32
+    # w128 (scratch): [QB, P*4D] f32
+    w128_ref[:] = jnp.dot(w4_ref[0], ex_ref[:],
+                          preferred_element_type=jnp.float32)
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 4 * d), 0)
+
+    def body(q8, _):
+        q0 = pl.multiple_of(q8 * 8, 8)
+
+        @pl.when(gflag_ref[0, q8, 0] == 0)
+        def _skip():
+            out_ref[0, pl.ds(q0, 8), :] = jnp.zeros((8, d), jnp.float32)
+
+        @pl.when(gflag_ref[0, q8, 0] != 0)
+        def _compute():
+            wblk = w128_ref[pl.ds(q0, 8), :]              # (8, P*4D)
+            rows = []
+            for i in range(8):
+                acc = jnp.zeros((1, 4 * d), jnp.float32)
+                for p in range(n_points):
+                    r = starts_ref[0, q0 + i, p]
+                    r0 = pl.multiple_of((r // 8) * 8, 8)
+                    blk = val4_ref[0, pl.ds(r0, 8), :]    # (8, 4D)
+                    sel = jnp.where(sub_iota == r - r0, blk,
+                                    jnp.zeros_like(blk))
+                    row = jnp.sum(sel, 0, keepdims=True).astype(jnp.float32)
+                    acc = acc + row * wblk[i:i + 1,
+                                           p * 4 * d:(p + 1) * 4 * d]
+                rows.append(acc[:, 0:d] + acc[:, d:2 * d]
+                            + acc[:, 2 * d:3 * d] + acc[:, 3 * d:4 * d])
+            out_ref[0, pl.ds(q0, 8), :] = jnp.concatenate(rows, 0)
+
+        return 0
+
+    jax.lax.fori_loop(0, qb // 8, body, 0)
+
+
+def _quad_pack(val_level: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """[BM, H*W, D] -> padded quad-packed [BM, (H+2)*(W+2) (8-aligned), 4D]."""
+    bm, _, dd = val_level.shape
+    vp = jnp.pad(val_level.reshape(bm, h, w, dd),
+                 ((0, 0), (1, 1), (1, 1), (0, 0)))
+    wp = w + 2
+    flat = vp.reshape(bm, (h + 2) * wp, dd)
+    r1 = jnp.roll(flat, -1, axis=1)
+    rw = jnp.roll(flat, -wp, axis=1)
+    rw1 = jnp.roll(flat, -(wp + 1), axis=1)
+    packed = jnp.concatenate([flat, r1, rw, rw1], axis=-1)
+    # pad rows to a multiple of 8: the kernel fetches aligned (8, 4D) blocks
+    rpad = -(-packed.shape[1] // 8) * 8 - packed.shape[1]
+    return jnp.pad(packed, ((0, 0), (0, rpad), (0, 0)))
+
+
+def _level_call(starts, w4, ex, val4, *, n_points, d, qb, interpret):
+    """One pallas_call over one row band of one level.
+    starts [BM, Lq_pad, P] (band-local), w4 [BM, Lq_pad, 4P] (zeroed outside
+    the band), val4 [BM, Rband, 4D]."""
+    bm, lq_pad, _ = starts.shape
+    nqb = lq_pad // qb
+    rband = val4.shape[1]
+    gflag = (w4.reshape(bm, lq_pad // 8, 8 * 4 * n_points) != 0).any(
+        -1).astype(jnp.int32)[..., None]
+    return pl.pallas_call(
+        functools.partial(_msda_level_kernel, n_points=n_points, d=d, qb=qb),
+        grid=(bm, nqb),
+        in_specs=[
+            pl.BlockSpec((1, qb, n_points), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, qb // 8, 1), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, qb, 4 * n_points), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * n_points, n_points * 4 * d),
+                         lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rband, 4 * d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, qb, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bm, lq_pad, d), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((qb, n_points * 4 * d), jnp.float32)],
+        interpret=interpret,
+    )(starts, gflag, w4, ex, val4)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spatial_shapes", "n_points", "interpret", "qb",
+                     "chunk_rows"))
+def _msda_pallas(value, spatial_shapes, sampling_locations,
+                 attention_weights, *, n_points, interpret=False, qb=256,
+                 chunk_rows=None):
+    if chunk_rows is None:
+        row_bytes = 4 * value.shape[-1] * value.dtype.itemsize
+        chunk_rows = _CHUNK_BYTES // row_bytes // 8 * 8
+    b, s, m, d = value.shape
+    _, lq, _, nlvl, npts, _ = sampling_locations.shape
+    assert npts == n_points and nlvl == len(spatial_shapes)
+
+    bm = b * m
+    lq_pad = -(-lq // qb) * qb
+    ex = jnp.asarray(_expansion_matrix(n_points, d))
+
+    # [B, Lq, M, ...] -> [BM, Lq_pad, ...]
+    def to_bm(x, fill=0):
+        x = jnp.moveaxis(x, 2, 1).reshape((bm, lq) + x.shape[3:])
+        return jnp.pad(x, ((0, 0), (0, lq_pad - lq))
+                       + ((0, 0),) * (x.ndim - 2), constant_values=fill)
+
+    out = jnp.zeros((bm, lq_pad, d), jnp.float32)
+    start = 0
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        val = value[:, start:start + h * w]                    # [B,HW,M,D]
+        start += h * w
+        val4 = _quad_pack(
+            jnp.moveaxis(val, 2, 1).reshape(bm, h * w, d), h, w)
+        rtot = val4.shape[1]
+
+        loc = sampling_locations[:, :, :, lvl].astype(jnp.float32)
+        x = loc[..., 0] * w - 0.5
+        y = loc[..., 1] * h - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        lx = x - x0
+        ly = y - y0
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        okv = ((y0i >= -1) & (y0i <= h - 1) & (x0i >= -1) & (x0i <= w - 1))
+        sy = jnp.clip(y0i + 1, 0, h)
+        sx = jnp.clip(x0i + 1, 0, w)
+        starts = sy * (w + 2) + sx                             # [B,Lq,M,P]
+        aw = attention_weights[:, :, :, lvl].astype(jnp.float32)
+        aw = jnp.where(okv, aw, 0.0)
+        # corner weights, quad order (r, r+1, r+W, r+W+1)
+        w4 = jnp.stack([(1 - ly) * (1 - lx), (1 - ly) * lx,
+                        ly * (1 - lx), ly * lx], -1) * aw[..., None]
+        starts = to_bm(starts)                                 # [BM,Lq_pad,P]
+        w4 = to_bm(w4.reshape(b, lq, m, n_points * 4))
+
+        n_chunks = -(-rtot // chunk_rows)
+        if n_chunks == 1:
+            out = out + _level_call(starts, w4, ex, val4, n_points=n_points,
+                                    d=d, qb=qb, interpret=interpret)
+            continue
+        # band-split the level map; a sample's aligned (8, 4D) block lives
+        # in the band holding its r0, so bands carry 8 extra rows
+        cid = (starts // 8) * 8 // chunk_rows
+        for c in range(n_chunks):
+            in_band = cid == c
+            starts_c = jnp.where(in_band, starts - c * chunk_rows, 0)
+            w4_c = jnp.where(
+                jnp.repeat(in_band, 4, axis=-1), w4, 0.0)
+            hi = min(c * chunk_rows + chunk_rows + 8, rtot)
+            band = val4[:, c * chunk_rows:hi]
+            if band.shape[1] % 8:
+                band = jnp.pad(
+                    band, ((0, 0), (0, 8 - band.shape[1] % 8), (0, 0)))
+            out = out + _level_call(starts_c, w4_c, ex, band,
+                                    n_points=n_points, d=d, qb=qb,
+                                    interpret=interpret)
+
+    out = out[:, :lq].reshape(b, m, lq, d)
+    return jnp.moveaxis(out, 1, 2).reshape(b, lq, m * d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4, 5))
+def ms_deform_attn_core_fast(value, spatial_shapes, sampling_locations,
+                             attention_weights, interpret=False, qb=256):
+    """Drop-in for `ms_deform_attn_core` ([B,Lq,M*D] out), Pallas forward.
+
+    `interpret=True` runs the kernel in interpreter mode (CPU tests).
+    Backward falls back to autodiff of the XLA formulation (inference never
+    takes it)."""
+    n_points = sampling_locations.shape[4]
+    return _msda_pallas(value, tuple(spatial_shapes), sampling_locations,
+                        attention_weights, n_points=n_points,
+                        interpret=interpret, qb=qb)
+
+
+def _fast_fwd(value, spatial_shapes, sampling_locations, attention_weights,
+              interpret, qb):
+    out = ms_deform_attn_core_fast(value, spatial_shapes, sampling_locations,
+                                   attention_weights, interpret, qb)
+    return out, (value, sampling_locations, attention_weights)
+
+
+def _fast_bwd(spatial_shapes, interpret, qb, res, g):
+    value, sampling_locations, attention_weights = res
+    _, vjp = jax.vjp(
+        lambda v, l, a: ms_deform_attn_core(v, spatial_shapes, l, a),
+        value, sampling_locations, attention_weights)
+    return vjp(g.astype(jnp.float32))
+
+
+ms_deform_attn_core_fast.defvjp(_fast_fwd, _fast_bwd)

@@ -335,7 +335,10 @@ def upn_forward(
         lvw = jnp.ceil(vw / strides[lvl]).astype(jnp.int32)[:, 0]
         pos = jax.vmap(lambda a, c: sine_position_embedding(
             h, w, a, c, cfg.pos_feats, cfg.pos_temperature))(lvh, lvw)
-        pos_flat.append((pos + params["level_embed"][lvl]).reshape(b, -1, cfg.d_model))
+        # pin to the feature dtype: the fp32 sine tables would otherwise
+        # promote `memory + pos` (and with it the whole encoder) to fp32
+        pos_flat.append((pos + params["level_embed"][lvl])
+                        .astype(s.dtype).reshape(b, -1, cfg.d_model))
         src_flat.append(s.reshape(b, -1, cfg.d_model))
         ratios.append(jnp.stack([lvw.astype(jnp.float32) / w,
                                  lvh.astype(jnp.float32) / h], -1))
