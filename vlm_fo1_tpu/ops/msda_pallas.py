@@ -100,16 +100,19 @@ def _msda_level_kernel(starts_ref, gflag_ref, w4_ref, ex_ref, val4_ref,
             wblk = w128_ref[pl.ds(q0, 8), :]              # (8, P*4D)
             rows = []
             for i in range(8):
-                acc = jnp.zeros((1, 4 * d), jnp.float32)
+                # accumulate per-sublane: each sample's row lands on its own
+                # sublane of acc8 (weight already applied via the iota mask),
+                # one fold per query instead of one reduce per sample
+                acc8 = jnp.zeros((8, 4 * d), jnp.float32)
                 for p in range(n_points):
                     r = starts_ref[0, q0 + i, p]
                     r0 = pl.multiple_of((r // 8) * 8, 8)
                     blk = val4_ref[0, pl.ds(r0, 8), :]    # (8, 4D)
-                    sel = jnp.where(sub_iota == r - r0, blk,
-                                    jnp.zeros_like(blk))
-                    row = jnp.sum(sel, 0, keepdims=True).astype(jnp.float32)
-                    acc = acc + row * wblk[i:i + 1,
-                                           p * 4 * d:(p + 1) * 4 * d]
+                    wrow = jnp.broadcast_to(
+                        wblk[i:i + 1, p * 4 * d:(p + 1) * 4 * d], (8, 4 * d))
+                    selw = jnp.where(sub_iota == r - r0, wrow, 0.0)
+                    acc8 = acc8 + blk * selw
+                acc = jnp.sum(acc8, 0, keepdims=True)     # (1, 4D)
                 rows.append(acc[:, 0:d] + acc[:, d:2 * d]
                             + acc[:, 2 * d:3 * d] + acc[:, 3 * d:4 * d])
             out_ref[0, pl.ds(q0, 8), :] = jnp.concatenate(rows, 0)
@@ -183,7 +186,6 @@ def _msda_pallas(value, spatial_shapes, sampling_locations,
 
     bm = b * m
     lq_pad = -(-lq // qb) * qb
-    ex = jnp.asarray(_expansion_matrix(n_points, d))
 
     # [B, Lq, M, ...] -> [BM, Lq_pad, ...]
     def to_bm(x, fill=0):
@@ -191,14 +193,15 @@ def _msda_pallas(value, spatial_shapes, sampling_locations,
         return jnp.pad(x, ((0, 0), (0, lq_pad - lq))
                        + ((0, 0),) * (x.ndim - 2), constant_values=fill)
 
-    out = jnp.zeros((bm, lq_pad, d), jnp.float32)
+    # per level: quad-packed map + per-sample flat row starts and folded
+    # corner weights
+    level_data = []
     start = 0
     for lvl, (h, w) in enumerate(spatial_shapes):
         val = value[:, start:start + h * w]                    # [B,HW,M,D]
         start += h * w
         val4 = _quad_pack(
             jnp.moveaxis(val, 2, 1).reshape(bm, h * w, d), h, w)
-        rtot = val4.shape[1]
 
         loc = sampling_locations[:, :, :, lvl].astype(jnp.float32)
         x = loc[..., 0] * w - 0.5
@@ -220,28 +223,56 @@ def _msda_pallas(value, spatial_shapes, sampling_locations,
                         ly * (1 - lx), ly * lx], -1) * aw[..., None]
         starts = to_bm(starts)                                 # [BM,Lq_pad,P]
         w4 = to_bm(w4.reshape(b, lq, m, n_points * 4))
+        level_data.append((val4, starts, w4))
 
-        n_chunks = -(-rtot // chunk_rows)
-        if n_chunks == 1:
-            out = out + _level_call(starts, w4, ex, val4, n_points=n_points,
-                                    d=d, qb=qb, interpret=interpret)
+    # pack levels into kernel passes: each pass owns one VMEM-resident map
+    # of at most chunk_rows rows. Levels small enough to share a map are
+    # CONCATENATED (one query pass samples all of them: n_samp = P * glen);
+    # oversized levels are band-split, with out-of-band samples masked to
+    # weight zero and skipped via the per-8-query-group occupancy flag.
+    out = jnp.zeros((bm, lq_pad, d), jnp.float32)
+    group = []          # [(val4, starts, w4)] pending small levels
+    group_rows = 0
+
+    def flush(out, group):
+        if not group:
+            return out
+        offs = np.cumsum([0] + [g[0].shape[1] for g in group[:-1]])
+        gval = jnp.concatenate([g[0] for g in group], 1)
+        gstarts = jnp.concatenate(
+            [g[1] + off for g, off in zip(group, offs)], -1)
+        gw4 = jnp.concatenate([g[2] for g in group], -1)
+        n_samp = n_points * len(group)
+        ex = jnp.asarray(_expansion_matrix(n_samp, d))
+        return out + _level_call(gstarts, gw4, ex, gval, n_points=n_samp,
+                                 d=d, qb=qb, interpret=interpret)
+
+    ex1 = jnp.asarray(_expansion_matrix(n_points, d))
+    for val4, starts, w4 in level_data:
+        rtot = val4.shape[1]
+        if rtot > chunk_rows:
+            # band-split; a sample's aligned (8, 4D) block lives in the band
+            # holding its r0, so bands carry 8 extra rows
+            cid = (starts // 8) * 8 // chunk_rows
+            for c in range(-(-rtot // chunk_rows)):
+                in_band = cid == c
+                starts_c = jnp.where(in_band, starts - c * chunk_rows, 0)
+                w4_c = jnp.where(jnp.repeat(in_band, 4, axis=-1), w4, 0.0)
+                hi = min(c * chunk_rows + chunk_rows + 8, rtot)
+                band = val4[:, c * chunk_rows:hi]
+                if band.shape[1] % 8:
+                    band = jnp.pad(
+                        band, ((0, 0), (0, 8 - band.shape[1] % 8), (0, 0)))
+                out = out + _level_call(starts_c, w4_c, ex1, band,
+                                        n_points=n_points, d=d, qb=qb,
+                                        interpret=interpret)
             continue
-        # band-split the level map; a sample's aligned (8, 4D) block lives
-        # in the band holding its r0, so bands carry 8 extra rows
-        cid = (starts // 8) * 8 // chunk_rows
-        for c in range(n_chunks):
-            in_band = cid == c
-            starts_c = jnp.where(in_band, starts - c * chunk_rows, 0)
-            w4_c = jnp.where(
-                jnp.repeat(in_band, 4, axis=-1), w4, 0.0)
-            hi = min(c * chunk_rows + chunk_rows + 8, rtot)
-            band = val4[:, c * chunk_rows:hi]
-            if band.shape[1] % 8:
-                band = jnp.pad(
-                    band, ((0, 0), (0, 8 - band.shape[1] % 8), (0, 0)))
-            out = out + _level_call(starts_c, w4_c, ex, band,
-                                    n_points=n_points, d=d, qb=qb,
-                                    interpret=interpret)
+        if group_rows + rtot > chunk_rows:
+            out = flush(out, group)
+            group, group_rows = [], 0
+        group.append((val4, starts, w4))
+        group_rows += rtot
+    out = flush(out, group)
 
     out = out[:, :lq].reshape(b, m, lq, d)
     return jnp.moveaxis(out, 1, 2).reshape(b, lq, m * d)
