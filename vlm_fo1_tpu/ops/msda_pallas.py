@@ -193,8 +193,33 @@ def _msda_pallas(value, spatial_shapes, sampling_locations,
         return jnp.pad(x, ((0, 0), (0, lq_pad - lq))
                        + ((0, 0),) * (x.ndim - 2), constant_values=fill)
 
-    # per level: quad-packed map + per-sample flat row starts and folded
-    # corner weights
+    # sampling math for ALL levels in one vectorized pass (one transpose of
+    # loc/weights instead of 3 per level), then contiguous per-level slices
+    hv = jnp.asarray([h for h, _ in spatial_shapes], jnp.float32)  # [L]
+    wv = jnp.asarray([w for _, w in spatial_shapes], jnp.float32)
+    loc = sampling_locations.astype(jnp.float32)       # [B,Lq,M,L,P,2]
+    x = loc[..., 0] * wv[:, None] - 0.5
+    y = loc[..., 1] * hv[:, None] - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    lx = x - x0
+    ly = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    hvi = hv.astype(jnp.int32)[:, None]
+    wvi = wv.astype(jnp.int32)[:, None]
+    okv = ((y0i >= -1) & (y0i <= hvi - 1) & (x0i >= -1) & (x0i <= wvi - 1))
+    sy = jnp.clip(y0i + 1, 0, hvi)
+    sx = jnp.clip(x0i + 1, 0, wvi)
+    starts_all = sy * (wvi + 2) + sx                   # [B,Lq,M,L,P]
+    aw = jnp.where(okv, attention_weights.astype(jnp.float32), 0.0)
+    # corner weights, quad order (r, r+1, r+W, r+W+1)
+    w4_all = jnp.stack([(1 - ly) * (1 - lx), (1 - ly) * lx,
+                        ly * (1 - lx), ly * lx], -1) * aw[..., None]
+    starts_all = to_bm(starts_all)                     # [BM,Lqp,L,P]
+    w4_all = to_bm(w4_all.reshape(b, lq, m, nlvl, n_points * 4))
+
+    # per level: quad-packed map + its slice of starts/weights
     level_data = []
     start = 0
     for lvl, (h, w) in enumerate(spatial_shapes):
@@ -202,28 +227,7 @@ def _msda_pallas(value, spatial_shapes, sampling_locations,
         start += h * w
         val4 = _quad_pack(
             jnp.moveaxis(val, 2, 1).reshape(bm, h * w, d), h, w)
-
-        loc = sampling_locations[:, :, :, lvl].astype(jnp.float32)
-        x = loc[..., 0] * w - 0.5
-        y = loc[..., 1] * h - 0.5
-        x0 = jnp.floor(x)
-        y0 = jnp.floor(y)
-        lx = x - x0
-        ly = y - y0
-        x0i = x0.astype(jnp.int32)
-        y0i = y0.astype(jnp.int32)
-        okv = ((y0i >= -1) & (y0i <= h - 1) & (x0i >= -1) & (x0i <= w - 1))
-        sy = jnp.clip(y0i + 1, 0, h)
-        sx = jnp.clip(x0i + 1, 0, w)
-        starts = sy * (w + 2) + sx                             # [B,Lq,M,P]
-        aw = attention_weights[:, :, :, lvl].astype(jnp.float32)
-        aw = jnp.where(okv, aw, 0.0)
-        # corner weights, quad order (r, r+1, r+W, r+W+1)
-        w4 = jnp.stack([(1 - ly) * (1 - lx), (1 - ly) * lx,
-                        ly * (1 - lx), ly * lx], -1) * aw[..., None]
-        starts = to_bm(starts)                                 # [BM,Lq_pad,P]
-        w4 = to_bm(w4.reshape(b, lq, m, n_points * 4))
-        level_data.append((val4, starts, w4))
+        level_data.append((val4, lvl))
 
     # pack levels into kernel passes: each pass owns one VMEM-resident map
     # of at most chunk_rows rows. Levels small enough to share a map are
@@ -231,7 +235,7 @@ def _msda_pallas(value, spatial_shapes, sampling_locations,
     # oversized levels are band-split, with out-of-band samples masked to
     # weight zero and skipped via the per-8-query-group occupancy flag.
     out = jnp.zeros((bm, lq_pad, d), jnp.float32)
-    group = []          # [(val4, starts, w4)] pending small levels
+    group = []          # [(val4, lvl)] pending small (consecutive) levels
     group_rows = 0
 
     def flush(out, group):
@@ -239,20 +243,29 @@ def _msda_pallas(value, spatial_shapes, sampling_locations,
             return out
         offs = np.cumsum([0] + [g[0].shape[1] for g in group[:-1]])
         gval = jnp.concatenate([g[0] for g in group], 1)
-        gstarts = jnp.concatenate(
-            [g[1] + off for g, off in zip(group, offs)], -1)
-        gw4 = jnp.concatenate([g[2] for g in group], -1)
+        lvls = [g[1] for g in group]
+        l0, l1 = lvls[0], lvls[-1] + 1
+        off = jnp.asarray(offs, jnp.int32)[:, None]    # [glen, 1]
+        gstarts = (starts_all[:, :, l0:l1] + off).reshape(
+            bm, lq_pad, -1)
+        gw4 = w4_all[:, :, l0:l1].reshape(bm, lq_pad, -1)
         n_samp = n_points * len(group)
         ex = jnp.asarray(_expansion_matrix(n_samp, d))
         return out + _level_call(gstarts, gw4, ex, gval, n_points=n_samp,
                                  d=d, qb=qb, interpret=interpret)
 
     ex1 = jnp.asarray(_expansion_matrix(n_points, d))
-    for val4, starts, w4 in level_data:
+    for val4, lvl in level_data:
         rtot = val4.shape[1]
         if rtot > chunk_rows:
+            # flush first: grouped levels must stay consecutive (the group
+            # reads one contiguous [l0:l1] slice of starts/weights)
+            out = flush(out, group)
+            group, group_rows = [], 0
             # band-split; a sample's aligned (8, 4D) block lives in the band
             # holding its r0, so bands carry 8 extra rows
+            starts = starts_all[:, :, lvl]
+            w4 = w4_all[:, :, lvl]
             cid = (starts // 8) * 8 // chunk_rows
             for c in range(-(-rtot // chunk_rows)):
                 in_band = cid == c
@@ -270,7 +283,7 @@ def _msda_pallas(value, spatial_shapes, sampling_locations,
         if group_rows + rtot > chunk_rows:
             out = flush(out, group)
             group, group_rows = [], 0
-        group.append((val4, starts, w4))
+        group.append((val4, lvl))
         group_rows += rtot
     out = flush(out, group)
 
