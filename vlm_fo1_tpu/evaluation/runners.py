@@ -220,8 +220,27 @@ def _cli():
     cc.add_argument("--max-items", type=int, default=None)
     cc.add_argument("--batch-size", type=int, default=1)
     cc.add_argument("--pipelined", action="store_true")
+    cc.add_argument("--score", action="store_true",
+                    help="score the written predictions against "
+                         "--original-data-path with the built-in mAP "
+                         "evaluator (no pycocotools needed)")
+
+    sc = sub.add_parser("score", help="score an existing COCO prediction "
+                                      "JSON (no model load)")
+    sc.add_argument("--pred-path", required=True)
+    sc.add_argument("--ann-path", required=True)
+    sc.add_argument("--max-items", type=int, default=None)
 
     args = ap.parse_args()
+    if args.task == "score":
+        from vlm_fo1_tpu.evaluation.coco_map import (
+            format_metrics,
+            score_coco_files,
+        )
+
+        print(format_metrics(score_coco_files(
+            args.pred_path, args.ann_path, max_items=args.max_items)))
+        return
     from vlm_fo1_tpu.models.fo1 import FO1Model
 
     model = FO1Model.from_pretrained(args.model_path)
@@ -238,6 +257,15 @@ def _cli():
                         max_items=args.max_items, batch_size=args.batch_size,
                         pipelined=args.pipelined)
         print(f"wrote {len(res)} detection records to {args.out_path}")
+        if args.score:
+            from vlm_fo1_tpu.evaluation.coco_map import (
+                format_metrics,
+                score_coco_files,
+            )
+
+            print(format_metrics(score_coco_files(
+                args.out_path, args.original_data_path,
+                max_items=args.max_items)))
 
 
 if __name__ == "__main__":
