@@ -165,3 +165,27 @@ def test_upn_config_from_reference_config_dict(tmp_path):
     model_cfg["num_queries"] = 300
     cfg2 = UPNConfig.from_config_dict(model_cfg)
     assert cfg2.num_encoder_layers == 3 and cfg2.num_queries == 300
+
+
+def test_upn_batched_inference_matches_single(rng):
+    """Multi-image inference (same-bucket batching + async dispatch) must
+    reproduce the per-image results; mixed buckets group correctly."""
+    upn = UPNWrapper.random_init(cfg=TINY_UPN, swin_cfg=TINY_SWIN)
+    orig = upn.transform_image
+    upn.transform_image = lambda img: orig(img, short_side=64, max_size=96)
+    imgs = [
+        Image.fromarray(rng.integers(0, 255, (96, 128, 3), dtype=np.uint8)),
+        Image.fromarray(rng.integers(0, 255, (96, 128, 3), dtype=np.uint8)),
+        Image.fromarray(rng.integers(0, 255, (60, 200, 3), dtype=np.uint8)),
+        Image.fromarray(rng.integers(0, 255, (96, 128, 3), dtype=np.uint8)),
+    ]
+    batched = upn.inference(imgs, batch_size=2)
+    assert batched["original_xyxy_boxes"].shape == (4, TINY_UPN.num_queries, 4)
+    for i, img in enumerate(imgs):
+        single = upn.inference(img)
+        np.testing.assert_allclose(batched["original_xyxy_boxes"][i],
+                                   single["original_xyxy_boxes"][0],
+                                   rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(batched["scores"][i],
+                                   single["scores"][0],
+                                   rtol=1e-4, atol=1e-4)

@@ -94,34 +94,63 @@ class UPNWrapper:
 
     # ----------------------------------------------------------- device
 
-    def inference(self, image, prompt_type: str = "fine_grained_prompt"):
+    def inference(self, image, prompt_type: str = "fine_grained_prompt",
+                  batch_size: int = 4):
         """image: path / PIL / list of either. Returns dict with
         original_xyxy_boxes [B, nq, 4] (pixels, score-sorted) and
-        scores [B, nq, 1]."""
+        scores [B, nq, 1].
+
+        Multi-image calls run same-bucket images as one batched forward
+        (up to `batch_size`) and keep every launch async — results are
+        pulled only after the last dispatch, so host preprocessing of
+        image i+1 overlaps device compute of image i (the reference loops
+        images one at a time on a blocking .cpu() pull,
+        inference_wrapper.py:136-184)."""
         if not isinstance(image, (list, tuple)):
             image = [image]
-        all_boxes, all_scores = [], []
-        for img in image:
+        n = len(image)
+
+        # host pass: decode + transform + bucket-pad, grouping by bucket
+        metas, groups = [], {}  # padded shape -> [(index, padded, (nh, nw))]
+        for i, img in enumerate(image):
             if isinstance(img, str):
                 img = Image.open(img).convert("RGB")
             orig_w, orig_h = img.size
             arr, (nh, nw) = self.transform_image(img)
             padded = self._pad_to_bucket(arr)
-            out = _jit_forward(self.params, self.cfg, self.swin_cfg,
-                               jnp.asarray(padded[None]),
-                               jnp.asarray([[nh, nw]], np.int32),
-                               prompt_type)
-            boxes = np.asarray(out["pred_boxes"][0], np.float32)  # cxcywh [0,1]
-            scores = np.asarray(
-                jax.nn.sigmoid(out["pred_logits"][0]), np.float32)  # [nq, 1]
-            xyxy = np.empty_like(boxes)
-            xyxy[:, 0] = (boxes[:, 0] - boxes[:, 2] / 2) * orig_w
-            xyxy[:, 1] = (boxes[:, 1] - boxes[:, 3] / 2) * orig_h
-            xyxy[:, 2] = (boxes[:, 0] + boxes[:, 2] / 2) * orig_w
-            xyxy[:, 3] = (boxes[:, 1] + boxes[:, 3] / 2) * orig_h
-            order = np.argsort(-scores[:, 0], kind="stable")
-            all_boxes.append(xyxy[order])
-            all_scores.append(scores[order])
+            metas.append((orig_w, orig_h))
+            groups.setdefault(padded.shape, []).append((i, padded, (nh, nw)))
+
+        # device pass: one async dispatch per same-bucket chunk
+        pending = []  # (indices, device out)
+        for shape, items in groups.items():
+            for c0 in range(0, len(items), max(batch_size, 1)):
+                chunk = items[c0:c0 + max(batch_size, 1)]
+                idxs = [it[0] for it in chunk]
+                stack = np.stack([it[1] for it in chunk])
+                hw = np.array([it[2] for it in chunk], np.int32)
+                out = _jit_forward(self.params, self.cfg, self.swin_cfg,
+                                   jnp.asarray(stack), jnp.asarray(hw),
+                                   prompt_type)
+                pending.append((idxs, out))
+
+        # collect pass: block per chunk only now, postprocess on host
+        all_boxes = [None] * n
+        all_scores = [None] * n
+        for idxs, out in pending:
+            pb = np.asarray(out["pred_boxes"], np.float32)   # cxcywh [0,1]
+            ps = np.asarray(jax.nn.sigmoid(out["pred_logits"]), np.float32)
+            for row, i in enumerate(idxs):
+                orig_w, orig_h = metas[i]
+                boxes, scores = pb[row], ps[row]
+                xyxy = np.empty_like(boxes)
+                xyxy[:, 0] = (boxes[:, 0] - boxes[:, 2] / 2) * orig_w
+                xyxy[:, 1] = (boxes[:, 1] - boxes[:, 3] / 2) * orig_h
+                xyxy[:, 2] = (boxes[:, 0] + boxes[:, 2] / 2) * orig_w
+                xyxy[:, 3] = (boxes[:, 1] + boxes[:, 3] / 2) * orig_h
+                order = np.argsort(-scores[:, 0], kind="stable")
+                all_boxes[i] = xyxy[order]
+                all_scores[i] = scores[order]
         return {"original_xyxy_boxes": np.stack(all_boxes),
                 "scores": np.stack(all_scores)}
 
