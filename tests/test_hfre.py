@@ -164,7 +164,7 @@ def test_per_level_roi_equals_concat_roi(rng):
     """roi_align_aux_levels must equal ROIAlign over the concatenated
     upsampled map (channel independence of ROIAlign)."""
     from vlm_fo1_tpu.models.hfre import roi_align_aux_levels
-    from vlm_fo1_tpu.ops.roi_align import roi_align_mean
+    from vlm_fo1_tpu.ops.roi_align import roi_align_mean_separable
 
     cfg = _toy_cfg()
     maps = [jnp.asarray(rng.standard_normal((16 // (2 ** i), 16 // (2 ** i),
@@ -174,9 +174,9 @@ def test_per_level_roi_equals_concat_roi(rng):
                                   [0.0, 0.0, 64.0, 64.0]], np.float32))
     per_level = np.asarray(roi_align_aux_levels(maps, boxes, cfg))
     concat = upsample_concat_aux([m[None] for m in maps])[0]
-    ref = np.asarray(roi_align_mean(concat, boxes, cfg.roi_output_size,
-                                    cfg.aux_spatial_scale,
-                                    cfg.roi_sampling_ratio))
+    ref = np.asarray(roi_align_mean_separable(
+        concat, boxes, cfg.roi_output_size, cfg.aux_spatial_scale,
+        sampling_ratio=cfg.roi_sampling_ratio))
     np.testing.assert_allclose(per_level, ref, atol=1e-5)
 
 

@@ -135,6 +135,83 @@ def test_upsampled_pooling_matches_materialized_resize(rng):
                                    atol=2e-6, rtol=1e-5)
 
 
+def test_separable_exact_adaptive_ratio(rng):
+    """roi_align_mean_separable(sampling_ratio=-1) must reproduce
+    torchvision's ADAPTIVE sampling ratio exactly (the reference's default:
+    roi_align called with no sampling_ratio) — including boxes large enough
+    that the adaptive ratio is 4+ taps/bin, where the static-ratio kernel
+    only approximates."""
+    from vlm_fo1_tpu.ops.roi_align import roi_align_mean_separable
+
+    feat = rng.standard_normal((32, 28, 6)).astype(np.float32)
+    scale = 0.25
+    boxes = np.array([
+        [2.0, 3.0, 40.0, 50.0],        # ratio 2
+        [0.0, 0.0, 112.0, 128.0],      # full map: ratio 4
+        [-8.0, -8.0, 6.0, 6.0],        # partially out of bounds
+        [100.0, 120.0, 140.0, 140.0],  # mostly out of bounds
+        [5.0, 5.0, 5.5, 5.5],          # degenerate (min 1 grid unit)
+        [1.0, 1.0, 30.0, 126.0],       # anisotropic: ratio (1, 4)
+    ], np.float32)
+    ref = roi_align_adaptive(feat, boxes, 7, scale).mean(axis=(1, 2))
+    got = np.asarray(roi_align_mean_separable(
+        jnp.asarray(feat), jnp.asarray(boxes), 7, scale, sampling_ratio=-1))
+    np.testing.assert_allclose(got, ref, atol=2e-6, rtol=1e-5)
+
+
+def test_separable_static_ratio_matches_roi_align_mean(rng):
+    from vlm_fo1_tpu.ops.roi_align import roi_align_mean_separable
+
+    feat = rng.standard_normal((24, 20, 16)).astype(np.float32)
+    boxes = np.array([
+        [2.0, 3.0, 15.0, 21.0],
+        [0.0, 0.0, 20.0, 24.0],
+        [-5.0, -5.0, 3.0, 3.0],
+        [18.0, 22.0, 30.0, 30.0],
+    ], np.float32)
+    ref = np.asarray(roi_align_mean(jnp.asarray(feat), jnp.asarray(boxes),
+                                    7, 0.5, sampling_ratio=2))
+    got = np.asarray(roi_align_mean_separable(
+        jnp.asarray(feat), jnp.asarray(boxes), 7, 0.5, sampling_ratio=2))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
+
+def test_separable_upsampled_adaptive_matches_materialized(rng):
+    """Virtual upsample + adaptive ratio == adaptive-ratio pooling over an
+    actually-materialized bilinear resize (the reference aux path:
+    F.interpolate then roi_align with default sampling_ratio)."""
+    from vlm_fo1_tpu.ops.roi_align import roi_align_mean_separable
+
+    for h, w, c, f in [(24, 24, 5, 8), (12, 16, 3, 2)]:
+        feat = rng.standard_normal((h, w, c)).astype(np.float32)
+        up = np.asarray(jax.image.resize(jnp.asarray(feat),
+                                         (h * f, w * f, c),
+                                         method="bilinear"))
+        boxes = np.array([
+            [1.0, 1.0, w * f * 2.0, h * f * 2.0],
+            [-5.0, -5.0, 9.0, 9.0],
+            [0.1 * w * f, 0.2 * h * f, 3.1 * w * f, 3.7 * h * f],
+        ], np.float32)
+        ref = roi_align_adaptive(up, boxes, 7, 0.25).mean(axis=(1, 2))
+        got = np.asarray(roi_align_mean_separable(
+            jnp.asarray(feat), jnp.asarray(boxes), 7, 0.25,
+            sampling_ratio=-1, upsample=f))
+        np.testing.assert_allclose(got, ref, atol=2e-6, rtol=2e-5)
+
+
+def test_separable_grad_flows(rng):
+    from vlm_fo1_tpu.ops.roi_align import roi_align_mean_separable
+
+    feat = jnp.asarray(rng.standard_normal((12, 12, 8)).astype(np.float32))
+    boxes = jnp.asarray(np.array([[1.0, 1.0, 9.0, 10.0],
+                                  [0.0, 0.0, 12.0, 12.0]], np.float32))
+
+    g = jax.grad(lambda f: roi_align_mean_separable(
+        f, boxes, 7, 1.0, sampling_ratio=-1).sum())(feat)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
+
+
 def test_upsampled_pooling_grad_matches_materialized(rng):
     """d(pool over virtual upsample)/d(feat) == d(pool over materialized
     resize)/d(feat) — the composed weights must be the true linearization."""

@@ -120,9 +120,12 @@ class HFREConfig:
     use_simple_fpn_for_vt: bool = False
     aux_region_feature_dims: tuple[int, ...] = (256, 512, 1024, 2048)
     aux_spatial_scale: float = 0.25
-    # TPU note: torchvision's adaptive sampling_ratio (-1) is data-dependent
-    # per box; we use a static ratio so the ROIAlign kernel has fixed shapes.
-    roi_sampling_ratio: int = 2
+    # -1 = torchvision's adaptive sampling ratio, the reference default
+    # (roi_align called without sampling_ratio, hybrid...:248-268, 353-358).
+    # Shape-static under jit via the separable pooled formulation
+    # (ops/roi_align.roi_align_mean_separable); a positive value selects
+    # that many taps per bin per axis instead.
+    roi_sampling_ratio: int = -1
 
 
 @dataclass(frozen=True)

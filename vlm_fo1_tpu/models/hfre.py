@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from vlm_fo1_tpu import nn
 from vlm_fo1_tpu.config import HFREConfig
 from vlm_fo1_tpu.models.simple_fpn import simple_fpn_forward
-from vlm_fo1_tpu.ops.roi_align import roi_align_mean, roi_align_mean_upsampled
+from vlm_fo1_tpu.ops.roi_align import roi_align_mean_separable
 
 # SimpleFPN level strides for a 14px-patch ViT (reference hybrid...:245)
 FPN_STRIDES = (3.5, 7.0, 14.0, 28.0)
@@ -127,22 +127,18 @@ def roi_align_aux_levels(aux_maps: list[jnp.ndarray], boxes, cfg: HFREConfig):
     aux_maps: [Hi, Wi, Ci] (single image)."""
     h0, w0 = aux_maps[0].shape[:2]
     feats = []
-    for i, m in enumerate(aux_maps):
+    for m in aux_maps:
         mf = m.astype(jnp.float32)
         hi, wi = m.shape[:2]
-        if i == 0:
-            feats.append(roi_align_mean(mf, boxes, cfg.roi_output_size,
-                                        cfg.aux_spatial_scale,
-                                        cfg.roi_sampling_ratio))
-        elif h0 % hi == 0 and w0 % wi == 0 and h0 // hi == w0 // wi:
-            feats.append(roi_align_mean_upsampled(
+        if h0 % hi == 0 and w0 % wi == 0 and h0 // hi == w0 // wi:
+            feats.append(roi_align_mean_separable(
                 mf, boxes, cfg.roi_output_size, cfg.aux_spatial_scale,
-                upsample=h0 // hi, sampling_ratio=cfg.roi_sampling_ratio))
+                sampling_ratio=cfg.roi_sampling_ratio, upsample=h0 // hi))
         else:  # non-integer ratio: materialize (never hit by DaViT stages)
             mf = jax.image.resize(mf, (h0, w0, m.shape[-1]), method="bilinear")
-            feats.append(roi_align_mean(mf, boxes, cfg.roi_output_size,
-                                        cfg.aux_spatial_scale,
-                                        cfg.roi_sampling_ratio))
+            feats.append(roi_align_mean_separable(
+                mf, boxes, cfg.roi_output_size, cfg.aux_spatial_scale,
+                sampling_ratio=cfg.roi_sampling_ratio))
     return jnp.concatenate(feats, axis=-1)
 
 
@@ -172,9 +168,9 @@ def hfre_forward(
         aux_feat = roi_align_aux_levels(aux_maps, aux_boxes, cfg)
     else:
         h0, w0 = aux_maps.shape[:2]
-        aux_feat = roi_align_mean(aux_maps, aux_boxes, cfg.roi_output_size,
-                                  cfg.aux_spatial_scale,
-                                  cfg.roi_sampling_ratio)
+        aux_feat = roi_align_mean_separable(
+            aux_maps, aux_boxes, cfg.roi_output_size, cfg.aux_spatial_scale,
+            sampling_ratio=cfg.roi_sampling_ratio)
     if cfg.apply_region_layer_norm and "aux_region_norm" in params:
         aux_feat = nn.layer_norm(params["aux_region_norm"], aux_feat)
 
@@ -237,14 +233,15 @@ def _extract_vt_feature(params: dict, cfg: HFREConfig, vt_map, vt_boxes):
         levels = simple_fpn_forward(params["simple_fpn"],
                                     vt_map.astype(jnp.float32)[None])
         feats = [
-            roi_align_mean(lvl[0], vt_boxes, cfg.roi_output_size,
-                           1.0 / stride, cfg.roi_sampling_ratio)
+            roi_align_mean_separable(lvl[0], vt_boxes, cfg.roi_output_size,
+                                     1.0 / stride,
+                                     sampling_ratio=cfg.roi_sampling_ratio)
             for lvl, stride in zip(levels, FPN_STRIDES)
         ]
         return jnp.concatenate(feats, axis=-1)
-    return roi_align_mean(vt_map.astype(jnp.float32), vt_boxes,
-                          cfg.roi_output_size, cfg.vt_spatial_scale,
-                          cfg.roi_sampling_ratio)
+    return roi_align_mean_separable(vt_map.astype(jnp.float32), vt_boxes,
+                                    cfg.roi_output_size, cfg.vt_spatial_scale,
+                                    sampling_ratio=cfg.roi_sampling_ratio)
 
 
 def _vt_pos_embed(vt_map, vt_boxes, cfg: HFREConfig, dim_feats: int):

@@ -8,12 +8,15 @@ TPU-first differences:
   row-gather of the full channel vector — the gather moves 4*C bytes per tap
   and the arithmetic (weighting + bin average) runs on the VPU over the C
   lanes.
-- static `sampling_ratio` (default 2): torchvision's adaptive ratio
-  (ceil(roi_h / out_h) taps per bin) is data-dependent per box, which would
-  force dynamic shapes under jit. With the HFRE's 7x7 -> mean pooling the
-  fixed 2x2 taps/bin are numerically indistinguishable in the pooled feature
-  for typical box sizes; exact-adaptive parity is available via
-  roi_align_adaptive (host/numpy) for validation.
+- the per-bin-grid forms (`roi_align`, `roi_align_mean`) take a static
+  `sampling_ratio`; torchvision's adaptive ratio (ceil(roi_h / out_h) taps
+  per bin, sampling_ratio=-1 — the reference's default) is data-dependent
+  per box, which would force dynamic shapes under jit in those forms.
+- `roi_align_mean_separable` recovers EXACT adaptive-ratio numerics with
+  static shapes for the pooled form the HFRE consumes: the pooled weight
+  matrix separates into per-axis 1-D vectors, where the adaptive tap count
+  only moves weights inside a fixed-size tap buffer. It is also the fastest
+  form (two 1-D scatters + an outer product + one MXU matmul).
 
 Border semantics match torchvision exactly: a sample point with y < -1 or
 y > H contributes 0; otherwise coordinates clamp to [0, H-1] and bilinear
@@ -206,6 +209,104 @@ def roi_align_mean_upsampled(feat, boxes, output_size, spatial_scale,
     return jax.numpy.matmul(wmat, flat, precision=jax.lax.Precision.HIGHEST)
 
 
+def _axis_pooled_weights(lo, hi, size, out_bins, ns_max, sampling_ratio):
+    """1-D pooled-ROIAlign weight vectors.
+
+    Pooled (mean over the out_bins x out_bins output) ROIAlign weights
+    SEPARATE per axis: every tap position is (y_tap, x_tap) from a tensor
+    product grid and its bilinear weight is a product of per-axis terms, so
+    the [N, H*W] pooled weight matrix is the outer product of a [N, H] and a
+    [N, W] vector. This is what makes torchvision's *adaptive* sampling
+    ratio (sampling_ratio=-1: ceil(extent / out_bins) taps per bin per axis,
+    the reference's default at hybrid...:353-358) shape-static under jit:
+    the data-dependent tap count only changes tap positions/weights inside a
+    static (out_bins * ns_max)-tap buffer, never an array shape.
+
+    lo, hi: [N] box start/end on this axis, already in feature-grid units.
+    Returns [N, size] fp32 (weights include the 1/(out_bins * ns) bin-mean
+    factor; out-of-bounds taps contribute 0 — multiplying the two axis
+    vectors reproduces the 2-D `(y oob) | (x oob)` zeroing).
+    """
+    n = lo.shape[0]
+    extent = jnp.maximum(hi - lo, 1.0)
+    bin_sz = extent / out_bins
+    if sampling_ratio > 0:
+        ns = jnp.full((n,), int(sampling_ratio), jnp.int32)
+        ns_max = int(sampling_ratio)
+    else:  # torchvision adaptive: ceil(roi_extent / pooled_extent)
+        ns = jnp.clip(jnp.ceil(bin_sz).astype(jnp.int32), 1, ns_max)
+    t = jnp.arange(out_bins * ns_max)
+    pb = (t // ns_max).astype(jnp.float32)          # output bin
+    s = t % ns_max                                  # tap within bin
+    nsf = ns.astype(jnp.float32)[:, None]
+    pos = (lo[:, None]
+           + (pb[None] + (s[None].astype(jnp.float32) + 0.5) / nsf)
+           * bin_sz[:, None])                       # [N, T]
+    live = (s[None] < ns[:, None]) & (pos >= -1.0) & (pos <= size)
+    wt = jnp.where(live, 1.0 / (out_bins * nsf), 0.0)
+    pc = jnp.clip(pos, 0.0, size - 1)
+    i0 = jnp.floor(pc).astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, size - 1)
+    frac = pc - i0
+    w = jnp.zeros((n, size), jnp.float32)
+    rows = jnp.arange(n)[:, None]
+    w = w.at[rows, i0].add(wt * (1.0 - frac))
+    w = w.at[rows, i1].add(wt * frac)
+    return w
+
+
+def _upsample_matrix_1d(size: int, factor: int) -> np.ndarray:
+    """[size*factor, size] 1-D bilinear upsample weights (half-pixel centers,
+    edge clamp — jax.image.resize / F.interpolate align_corners=False)."""
+    hi_size = size * factor
+    u = np.zeros((hi_size, size), np.float32)
+    src = np.clip((np.arange(hi_size) + 0.5) / factor - 0.5, 0.0, size - 1)
+    lo = np.floor(src).astype(np.int64)
+    hi = np.minimum(lo + 1, size - 1)
+    t = (src - lo).astype(np.float32)
+    np.add.at(u, (np.arange(hi_size), lo), 1.0 - t)
+    np.add.at(u, (np.arange(hi_size), hi), t)
+    return u
+
+
+def roi_align_mean_separable(feat, boxes, output_size, spatial_scale,
+                             sampling_ratio=-1, upsample=1):
+    """Pooled ROIAlign -> [N, C] with EXACT torchvision numerics including
+    the adaptive sampling ratio (sampling_ratio=-1, the reference default —
+    torchvision roi_align's signature — at hybrid...:248-268, 353-358).
+
+    Separable formulation: per-axis 1-D pooled weight vectors (see
+    _axis_pooled_weights), outer-product to the [N, H*W] weight matrix, one
+    MXU matmul against the map — the feature map is read exactly once and no
+    per-tap 2-D scatters are built. With upsample > 1 the map is *virtually*
+    upsampled: the 1-D weights are computed on the upsampled grid and folded
+    through a static [H*f, H] bilinear matrix, composing both interpolations
+    without materializing the upsampled map (reference hybrid...:338-358).
+
+    Caveat: with sampling_ratio=-1 the static tap buffer bounds the adaptive
+    ratio by ceil(grid / output_size) — exact for every box that lies within
+    the image (preprocessing clamps boxes there), conservative only beyond.
+    """
+    h, w, c = feat.shape
+    f = int(upsample)
+    h0, w0 = h * f, w * f
+    boxes = boxes.astype(jnp.float32) * spatial_scale
+    ns_max_y = -(-h0 // int(output_size))
+    ns_max_x = -(-w0 // int(output_size))
+    wy = _axis_pooled_weights(boxes[:, 1], boxes[:, 3], h0,
+                              int(output_size), ns_max_y, sampling_ratio)
+    wx = _axis_pooled_weights(boxes[:, 0], boxes[:, 2], w0,
+                              int(output_size), ns_max_x, sampling_ratio)
+    if f > 1:
+        wy = jax.numpy.matmul(wy, jnp.asarray(_upsample_matrix_1d(h, f)),
+                              precision=jax.lax.Precision.HIGHEST)
+        wx = jax.numpy.matmul(wx, jnp.asarray(_upsample_matrix_1d(w, f)),
+                              precision=jax.lax.Precision.HIGHEST)
+    wmat = (wy[:, :, None] * wx[:, None, :]).reshape(boxes.shape[0], h * w)
+    flat = feat.reshape(h * w, c).astype(jnp.float32)
+    return jax.numpy.matmul(wmat, flat, precision=jax.lax.Precision.HIGHEST)
+
+
 def roi_align_mean_reference(feat, boxes, output_size, spatial_scale,
                              sampling_ratio=2):
     """Gather-formulation oracle for roi_align_mean (slow path)."""
@@ -218,26 +319,30 @@ def roi_align_adaptive(
     spatial_scale: float,
 ) -> np.ndarray:
     """Host/numpy reference with torchvision's *adaptive* sampling ratio
-    (sampling_ratio=-1: ceil(roi extent / output bins) taps per bin). Used in
-    tests to quantify the static-ratio approximation; not jit-compatible."""
+    (sampling_ratio=-1: ceil(roi extent / output bins) taps per bin). Tap
+    positions are computed in float32 like torchvision's kernels on float32
+    inputs (the position rounding is observable: ~1e-4 in the pooled output
+    for image-sized boxes). Used in tests as the exact-parity oracle; not
+    jit-compatible."""
     h, w, c = feat.shape
     oh = ow = int(output_size)
     out = np.zeros((len(boxes), oh, ow, c), np.float32)
     feat = feat.astype(np.float32)
-    for n, (bx1, by1, bx2, by2) in enumerate(np.asarray(boxes, np.float64)):
-        x1, y1 = bx1 * spatial_scale, by1 * spatial_scale
-        x2, y2 = bx2 * spatial_scale, by2 * spatial_scale
-        roi_w, roi_h = max(x2 - x1, 1.0), max(y2 - y1, 1.0)
-        bw, bh = roi_w / ow, roi_h / oh
-        nsy = int(np.ceil(roi_h / oh))
-        nsx = int(np.ceil(roi_w / ow))
+    f32 = np.float32
+    for n, (bx1, by1, bx2, by2) in enumerate(np.asarray(boxes, np.float32)):
+        x1, y1 = f32(bx1 * f32(spatial_scale)), f32(by1 * f32(spatial_scale))
+        x2, y2 = f32(bx2 * f32(spatial_scale)), f32(by2 * f32(spatial_scale))
+        roi_w, roi_h = max(x2 - x1, f32(1.0)), max(y2 - y1, f32(1.0))
+        bw, bh = f32(roi_w / ow), f32(roi_h / oh)
+        nsy = int(np.ceil(f32(roi_h / oh)))
+        nsx = int(np.ceil(f32(roi_w / ow)))
         for py in range(oh):
             for px in range(ow):
                 acc = np.zeros(c, np.float32)
                 for sy in range(nsy):
-                    yy = y1 + (py + (sy + 0.5) / nsy) * bh
+                    yy = f32(y1 + f32(f32(py + f32((sy + 0.5) / nsy)) * bh))
                     for sx in range(nsx):
-                        xx = x1 + (px + (sx + 0.5) / nsx) * bw
+                        xx = f32(x1 + f32(f32(px + f32((sx + 0.5) / nsx)) * bw))
                         if yy < -1.0 or yy > h or xx < -1.0 or xx > w:
                             continue
                         yc, xc = min(max(yy, 0.0), h - 1), min(max(xx, 0.0), w - 1)
