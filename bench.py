@@ -62,9 +62,12 @@ def main():
     # quantize on HOST, then ship only the final int8 tree — the TPU never
     # sees the bf16 model or the fp32 quantization temporaries.
     quant = os.environ.get("BENCH_QUANT", "int8-all")
+    # w8a8 = the int8-all tree + runtime activation-quant markers, so it can
+    # reuse the int8-all param cache instead of a second ~10-min host build
+    cache_quant = "int8-all" if quant == "w8a8" else quant
     cache = os.environ.get(
         "BENCH_PARAM_CACHE",
-        f"/root/repo/.bench_params_{preset}_{quant}.safetensors")
+        f"/root/repo/.bench_params_{preset}_{cache_quant}.safetensors")
     if cache and os.path.exists(cache):
         from vlm_fo1_tpu.training.checkpointing import load_params_safetensors
 
@@ -75,14 +78,14 @@ def main():
         with jax.default_device(cpu):
             model = FO1Model.random_init(cfg, seed=0, dtype=dtype,
                                          tokenizer=_BenchTokenizer())
-            if quant.startswith("int8") and preset != "tiny":
+            if quant in ("int8", "int8-all", "w8a8") and preset != "tiny":
                 from vlm_fo1_tpu.quant import (
                     ALL_QUANT_PATTERNS,
                     DEFAULT_QUANT_PATTERNS,
                     quantize_params,
                 )
 
-                pats = (ALL_QUANT_PATTERNS if quant == "int8-all"
+                pats = (ALL_QUANT_PATTERNS if quant in ("int8-all", "w8a8")
                         else DEFAULT_QUANT_PATTERNS)
                 model.params = quantize_params(model.params, pats)
             elif quant.startswith("int4") and preset != "tiny":
@@ -107,6 +110,10 @@ def main():
                 except OSError:
                     pass
             save_params_safetensors(cache, model.params)
+    if quant == "w8a8" and preset != "tiny":
+        from vlm_fo1_tpu.quant import mark_w8a8
+
+        model.params = mark_w8a8(model.params)
     model.params = jax.device_put(model.params, jax.devices()[0])
     jax.block_until_ready(model.params)
 

@@ -111,6 +111,63 @@ def test_quantized_generate_close_to_full(rng):
     assert np.isfinite(np.asarray(r_q.token_ids)).all()
 
 
+def test_w8a8_linear_close_to_full_precision(rng):
+    """Dynamic activation quant on top of int8 weights: error stays small
+    (two independent int8 roundings) and well above gross breakage."""
+    from vlm_fo1_tpu.quant import mark_w8a8
+
+    p = {"w": jnp.asarray(rng.standard_normal((64, 32)).astype(np.float32)),
+         "b": jnp.asarray(rng.standard_normal(32).astype(np.float32))}
+    x = jnp.asarray(rng.standard_normal((5, 64)).astype(np.float32))
+    full = np.asarray(nn.linear(p, x))
+    q = quantize_linear(dict(p))
+    w8 = np.asarray(nn.linear(q, x))
+    w8a8 = np.asarray(nn.linear(mark_w8a8(dict(q)), x))
+    denom = np.abs(full).max() + 1e-6
+    assert np.abs(w8a8 - full).max() / denom < 0.04
+    # activation quant adds error on top of weight-only int8, but same order
+    assert np.abs(w8a8 - full).mean() <= 4 * np.abs(w8 - full).mean() + 1e-4
+
+
+def test_w8a8_marks_linears_not_embeddings(rng):
+    from vlm_fo1_tpu.config import FO1Config
+    from vlm_fo1_tpu.models.fo1 import FO1Model
+    from vlm_fo1_tpu.quant import ALL_QUANT_PATTERNS, quantize_params_w8a8
+
+    model = FO1Model.random_init(FO1Config.tiny(), seed=0)
+    q = quantize_params_w8a8(model.params, ALL_QUANT_PATTERNS)
+    assert "a8" in q["text"]["layers"]["attn"]["q_proj"]
+    assert "a8" in q["vision_tower"]["blocks"]["full"]["mlp"]["gate_proj"]
+    # row-quantized embedding stays on the weight-only path
+    assert "w_q" in q["text"]["embed_tokens"]
+    assert "a8" not in q["text"]["embed_tokens"]
+
+
+def test_w8a8_generate_runs(rng):
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from conftest import StubTokenizer
+    from PIL import Image
+
+    from vlm_fo1_tpu.config import FO1Config
+    from vlm_fo1_tpu.models.fo1 import FO1Model
+    from vlm_fo1_tpu.quant import quantize_params_w8a8
+
+    model = FO1Model.random_init(FO1Config.tiny(), seed=0,
+                                 tokenizer=StubTokenizer())
+    model.params = quantize_params_w8a8(model.params)
+    img = Image.fromarray(rng.integers(0, 255, (96, 96, 3), dtype=np.uint8))
+    msgs = [{"role": "user", "content": [
+        {"type": "image_url", "image_url": {"url": img}},
+        {"type": "text", "text": "hello"}],
+        "bbox_list": [[3.0, 3.0, 60.0, 60.0]]}]
+    r = model.generate(msgs, max_new_tokens=4, max_pixels=128 * 128)
+    assert r.num_steps >= 1
+    assert np.isfinite(np.asarray(r.token_ids)).all()
+
+
 def test_int4_pack_unpack_roundtrip(rng):
     from vlm_fo1_tpu.quant import _quantize_weight_int4, unpack_int4
 

@@ -68,12 +68,16 @@ class GenerateFacade:
 
 
 def load_pretrained_model(model_path: str, load_8bit: bool = False,
-                          load_4bit: bool = False, device: str | None = None):
+                          load_4bit: bool = False, device: str | None = None,
+                          w8a8: bool = False):
     """Returns (tokenizer, model, (primary_processor, aux_processor)).
 
     load_8bit / load_4bit apply weight-only int8 / packed-int4 quantization
     to the LLM trunk (vlm_fo1_tpu.quant — TPU-native counterparts of the
-    reference's bitsandbytes paths, model/builder.py:25-36).
+    reference's bitsandbytes paths, model/builder.py:25-36). w8a8=True
+    (with load_8bit) additionally quantizes activations per token at
+    runtime — int8 x int8 dots on the MXU's double-rate int8 path, the
+    closer analog of bitsandbytes LLM.int8's dynamic GEMMs.
     """
     model = FO1Model.from_pretrained(model_path)
     if load_4bit:
@@ -81,9 +85,11 @@ def load_pretrained_model(model_path: str, load_8bit: bool = False,
 
         model.params = quantize_params_int4(model.params)
     elif load_8bit:
-        from vlm_fo1_tpu.quant import quantize_params
+        from vlm_fo1_tpu.quant import mark_w8a8, quantize_params
 
         model.params = quantize_params(model.params)
+        if w8a8:
+            model.params = mark_w8a8(model.params)
     facade = GenerateFacade(model)
     processors = (_ProcessorShim("primary", model), _ProcessorShim("aux", model))
     return model.tokenizer, facade, processors

@@ -40,12 +40,30 @@ def linear_init(key, in_dim, out_dim, bias=True, dtype=jnp.float32, std=0.02):
 
 def linear(p, x):
     if "w_q" in p:
-        # weight-only int8: XLA TPU supports mixed bf16 x int8 dots natively,
-        # so weights stream from HBM at 1 byte each with no converted copy
-        y = jax.lax.dot_general(
-            x, p["w_q"], (((x.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=x.dtype)
-        y = y * p["scale"].astype(x.dtype)
+        if "a8" in p:
+            # w8a8: dynamic per-row (per-token) activation quantization; the
+            # int8 x int8 -> int32 dot runs on the MXU's double-rate int8
+            # path (v5e 394 TOPS vs 197 bf16 TFLOPS). The amax/round/clip
+            # chain is VPU work XLA fuses into the surrounding elementwise
+            # ops. int32 accumulation is exact: 127^2 * K stays < 2^31 for
+            # every contraction in this model (max K 11008 -> 1.8e8).
+            xf = x.astype(jnp.float32)
+            sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True),
+                             1e-6) * (1.0 / 127.0)
+            x_q = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                x_q, p["w_q"], (((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            y = (acc.astype(jnp.float32) * sx
+                 * p["scale"]).astype(x.dtype)
+        else:
+            # weight-only int8: XLA TPU supports mixed bf16 x int8 dots
+            # natively, so weights stream from HBM at 1 byte each with no
+            # converted copy
+            y = jax.lax.dot_general(
+                x, p["w_q"], (((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=x.dtype)
+            y = y * p["scale"].astype(x.dtype)
     elif "w_q4" in p:
         # weight-only int4 (two nibbles per HBM byte). On TPU a Pallas
         # kernel unpacks per-tile in VMEM (XLA would materialize the
