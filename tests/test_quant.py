@@ -129,6 +129,51 @@ def test_w8a8_linear_close_to_full_precision(rng):
     assert np.abs(w8a8 - full).mean() <= 4 * np.abs(w8 - full).mean() + 1e-4
 
 
+def test_w8a8_outlier_channels_survive(rng):
+    """LLM.int8-style static-k outlier decomposition: activation channels
+    with extreme magnitudes (Qwen-family trunks have them) bypass the int8
+    path, so they neither clip nor blow up the per-token scale. Without the
+    decomposition this input makes naive symmetric quant flush ~all normal
+    channels to zero (scale = amax/127 with amax 1e4)."""
+    from vlm_fo1_tpu.quant import mark_w8a8
+
+    p = {"w": jnp.asarray(rng.standard_normal((64, 32)).astype(np.float32))}
+    x = rng.standard_normal((5, 64)).astype(np.float32)
+    x[:, [3, 17]] *= 1e4  # two outlier channels, LLM.int8's motivating case
+    x = jnp.asarray(x)
+    full = np.asarray(nn.linear(p, x))
+    w8a8 = np.asarray(nn.linear(mark_w8a8(quantize_linear(dict(p))), x))
+    denom = np.abs(full).max() + 1e-6
+    assert np.abs(w8a8 - full).max() / denom < 0.04
+
+
+def test_w8a8_decode_step_stays_weight_only(rng):
+    """Single-token (decode-shaped) calls skip activation quant: decode is
+    HBM-bound, so a8 would add error for zero gain (ADVICE r1). The marked
+    tree must produce bit-identical output to the weight-only tree."""
+    from vlm_fo1_tpu.quant import mark_w8a8
+
+    p = {"w": jnp.asarray(rng.standard_normal((64, 32)).astype(np.float32))}
+    q = quantize_linear(dict(p))
+    x = jnp.asarray(rng.standard_normal((2, 1, 64)).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(nn.linear(mark_w8a8(dict(q)), x)),
+        np.asarray(nn.linear(q, x)))
+
+
+def test_w8a8_without_load_8bit_raises():
+    """api.load_pretrained_model(w8a8=True) without load_8bit was a silent
+    no-op (ADVICE r1) — now a ValueError, raised before any checkpoint IO."""
+    import pytest
+
+    from vlm_fo1_tpu.api import load_pretrained_model
+
+    with pytest.raises(ValueError, match="w8a8"):
+        load_pretrained_model("/nonexistent", w8a8=True)
+    with pytest.raises(ValueError, match="w8a8"):
+        load_pretrained_model("/nonexistent", load_4bit=True, w8a8=True)
+
+
 def test_w8a8_marks_linears_not_embeddings(rng):
     from vlm_fo1_tpu.config import FO1Config
     from vlm_fo1_tpu.models.fo1 import FO1Model

@@ -79,6 +79,11 @@ def load_pretrained_model(model_path: str, load_8bit: bool = False,
     runtime — int8 x int8 dots on the MXU's double-rate int8 path, the
     closer analog of bitsandbytes LLM.int8's dynamic GEMMs.
     """
+    if w8a8 and (load_4bit or not load_8bit):
+        raise ValueError(
+            "w8a8=True requires load_8bit=True (activation quant rides the "
+            "int8 weight path); got load_8bit=%s load_4bit=%s"
+            % (load_8bit, load_4bit))
     model = FO1Model.from_pretrained(model_path)
     if load_4bit:
         from vlm_fo1_tpu.quant import quantize_params_int4

@@ -38,16 +38,45 @@ def linear_init(key, in_dim, out_dim, bias=True, dtype=jnp.float32, std=0.02):
     return p
 
 
+# static outlier-channel budget for w8a8 (LLM.int8-style decomposition with
+# a FIXED channel count so shapes stay static under jit; Qwen2.5-family
+# trunks carry extreme activation-outlier channels that per-token symmetric
+# quant would otherwise clip into the scale)
+W8A8_OUTLIER_CHANNELS = 64
+
+
 def linear(p, x):
+    # a8 applies only to multi-token (prefill/encode) calls: decode steps
+    # (seq dim 1, statically known) stream int8 weights already and would
+    # pay activation-quant error for zero bandwidth gain
     if "w_q" in p:
-        if "a8" in p:
+        if "a8" in p and x.ndim >= 2 and x.shape[-2] > 1:
             # w8a8: dynamic per-row (per-token) activation quantization; the
             # int8 x int8 -> int32 dot runs on the MXU's double-rate int8
             # path (v5e 394 TOPS vs 197 bf16 TFLOPS). The amax/round/clip
             # chain is VPU work XLA fuses into the surrounding elementwise
             # ops. int32 accumulation is exact: 127^2 * K stays < 2^31 for
             # every contraction in this model (max K 11008 -> 1.8e8).
+            #
+            # Outlier decomposition (LLM.int8, static-shape variant): the
+            # top-k activation columns by absmax bypass quantization — their
+            # weight rows are gathered and dequantized, and their (tiny)
+            # [.., k] x [k, out] product runs in f32; the remaining columns
+            # quantize against a scale that no longer sees the outliers.
             xf = x.astype(jnp.float32)
+            in_dim = xf.shape[-1]
+            k = min(W8A8_OUTLIER_CHANNELS, in_dim // 8)
+            y_out = 0.0
+            if k > 0:
+                col_amax = jnp.max(jnp.abs(xf),
+                                   axis=tuple(range(xf.ndim - 1)))
+                _, oidx = jax.lax.top_k(col_amax, k)
+                x_o = jnp.take(xf, oidx, axis=-1)              # [..., k]
+                w_o = (jnp.take(p["w_q"], oidx, axis=0).astype(jnp.float32)
+                       * p["scale"][None, :])                  # [k, out]
+                y_out = jnp.dot(x_o, w_o)
+                keep = jnp.ones((in_dim,), jnp.float32).at[oidx].set(0.0)
+                xf = xf * keep
             sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True),
                              1e-6) * (1.0 / 127.0)
             x_q = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
@@ -55,7 +84,7 @@ def linear(p, x):
                 x_q, p["w_q"], (((x.ndim - 1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
             y = (acc.astype(jnp.float32) * sx
-                 * p["scale"]).astype(x.dtype)
+                 * p["scale"] + y_out).astype(x.dtype)
         else:
             # weight-only int8: XLA TPU supports mixed bf16 x int8 dots
             # natively, so weights stream from HBM at 1 byte each with no

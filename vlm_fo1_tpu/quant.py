@@ -136,16 +136,15 @@ def quantize_params_w8a8(params, patterns=DEFAULT_QUANT_PATTERNS):
 
 def mark_w8a8(q):
     """Add the "a8" activation-quant marker to every int8 LINEAR leaf of an
-    already-quantized tree (idempotent; embeddings are left alone)."""
+    already-quantized tree (idempotent). Embeddings are skipped by tree
+    path — the same discriminator quantize_params uses — rather than by
+    scale-shape coincidence (a square vocab==dim table would fool a shape
+    test)."""
 
-    def walk(node):
+    def walk(node, path):
         if isinstance(node, dict):
-            if "w_q" in node and node["w_q"].ndim >= 2 \
-                    and node["scale"].ndim == node["w_q"].ndim - 1:
-                # linear leaves only: embeddings have per-ROW scales with
-                # scale.ndim == w_q.ndim - 1 too ([V] vs [V, D]) but their
-                # scale axis is the FIRST w axis; distinguish by shape
-                if node["scale"].shape[-1] == node["w_q"].shape[-1]:
+            if "w_q" in node and node["w_q"].ndim >= 2:
+                if not "/".join(path).endswith("embed_tokens"):
                     node = dict(node)
                     # leading dims mirror any stacked-layer axes so the
                     # marker scans alongside the weights ([L, in, out]
@@ -153,12 +152,12 @@ def mark_w8a8(q):
                     node["a8"] = jnp.ones(
                         node["w_q"].shape[:-2] + (1,), jnp.int8)
                 return node
-            return {k: walk(v) for k, v in node.items()}
+            return {k: walk(v, path + (k,)) for k, v in node.items()}
         if isinstance(node, list):
-            return [walk(v) for v in node]
+            return [walk(v, path + (str(i),)) for i, v in enumerate(node)]
         return node
 
-    return walk(q)
+    return walk(q, ())
 
 
 def dequantize_linear(p: dict, dtype=jnp.bfloat16) -> dict:
