@@ -10,7 +10,8 @@ The reference publishes no throughput numbers (BASELINE.md), so vs_baseline
 is null until a measured A100 reference exists.
 
 Env knobs: BENCH_PRESET=3b|tiny, BENCH_DECODE_TOKENS, BENCH_ITERS,
-BENCH_MAX_PIXELS.
+BENCH_MAX_PIXELS, BENCH_UPN=1|0 (UPN proposal throughput, reported as
+upn_img_s), BENCH_UPN_ITERS.
 """
 
 from __future__ import annotations
@@ -242,6 +243,51 @@ def main():
         except Exception as e:
             serving = {"error": str(e)[:120]}
 
+    prompt_len = int(r.prompt_len)
+
+    # UPN proposal generation (reference scripts/run_upn.py:1-16 as the
+    # workload: demo image at the 800/1333 transform). First-class entry
+    # point of the reference, so its throughput is a tracked number.
+    upn = None
+    if os.environ.get("BENCH_UPN", "1") == "1":
+        try:
+            # free the FO1 residency first: UPN (Swin-L + 6+6 deformable
+            # layers, ~1GB bf16) must fit next to co-tenants on the shared
+            # chip
+            import gc
+
+            model = None
+            del r
+            gc.collect()
+            from PIL import Image
+
+            from vlm_fo1_tpu.upn.wrapper import UPNWrapper
+
+            img = (Image.open(img_path).convert("RGB")
+                   if isinstance(img_path, str) else img_path)
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                upn_w = UPNWrapper.random_init(dtype=jnp.bfloat16)
+            upn_w.params = jax.device_put(upn_w.params, jax.devices()[0])
+            jax.block_until_ready(upn_w.params)
+            t0 = time.time()
+            upn_w.inference(img)  # compile
+            upn_compile_s = time.time() - t0
+            ulat = []
+            for _ in range(int(os.environ.get("BENCH_UPN_ITERS", "5"))):
+                t0 = time.time()
+                upn_w.inference(img)
+                ulat.append(time.time() - t0)
+            up50 = float(np.percentile(ulat, 50))
+            arr, (nh, nw) = upn_w.transform_image(img)
+            upn = {"img_s": round(1.0 / up50, 4),
+                   "p50_s": round(up50, 4),
+                   "input_hw": [nh, nw],
+                   "bucket_hw": list(upn_w._pad_to_bucket(arr).shape[:2]),
+                   "compile_s": round(upn_compile_s, 1)}
+        except Exception as e:
+            upn = {"error": str(e)[:160]}
+
     headline = (serving["img_s"]
                 if serving and "img_s" in serving else round(ips, 4))
     print(json.dumps({
@@ -252,9 +298,11 @@ def main():
         "single_stream_img_s": round(ips, 4),
         "p50_latency_s": round(p50, 4),
         "serving": serving,
+        "upn_img_s": (upn or {}).get("img_s"),
+        "upn": upn,
         "decode_tokens": decode_tokens,
         "max_pixels": max_pixels,
-        "prompt_len": int(r.prompt_len),
+        "prompt_len": prompt_len,
         "batch": batch,
         "preset": preset,
         "quant": quant if preset != "tiny" else "none",
