@@ -154,6 +154,44 @@ def test_greedy_generate_matches_hf(hf_model, rng):
     assert int(steps) == max_new
 
 
+def test_decode_stops_on_multitoken_keyword(hf_model, rng):
+    """KeywordsStoppingCriteria parity (reference mm_utils.py:137-181): a
+    2-token stop sequence halts the jitted decode loop via n-gram match
+    against the tail of the generated ids."""
+    params = _params(hf_model)
+    ids = rng.integers(0, CFG.vocab_size, size=(1, 6))
+    pos, deltas = get_rope_index(ids, None)
+    sp = pad_to_bucket(6, 8)
+    emb = jnp.zeros((1, sp, CFG.hidden_size)).at[:, :6].set(
+        llm.embed_tokens(params, jnp.asarray(ids)))
+    posp = np.zeros((3, 1, sp), np.int32)
+    posp[:, :, :6] = pos
+
+    def decode(stop_sequences):
+        cache, logits = prefill(params, CFG, emb, jnp.asarray(posp),
+                                jnp.asarray([6]), cache_len=sp + 8)
+        gen_cfg = GenerationConfig(max_new_tokens=8, temperature=0.0,
+                                   eos_token_id=-7, pad_token_id=0,
+                                   stop_sequences=stop_sequences)
+        tokens, steps, _ = decode_loop(params, CFG, gen_cfg, cache, logits,
+                                       jnp.asarray([6]),
+                                       jnp.asarray(deltas[:, 0]),
+                                       jax.random.PRNGKey(0))
+        return np.asarray(tokens)[0], int(steps)
+
+    free, n_free = decode(())
+    assert n_free == 8
+    keyword = (int(free[2]), int(free[3]))  # 2-token keyword mid-stream
+    tokens, steps = decode((keyword,))
+    assert steps == 4  # stops right after the keyword's last token
+    np.testing.assert_array_equal(tokens[:4], free[:4])
+    assert (tokens[4:] == 0).all()
+
+    # a 1-token keyword equal to the very first generated token
+    tokens, steps = decode(((int(free[0]),),))
+    assert steps == 1
+
+
 def test_decode_stops_at_eos(hf_model, rng):
     params = _params(hf_model)
     ids = rng.integers(0, CFG.vocab_size, size=(1, 6))

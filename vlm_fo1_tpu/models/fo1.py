@@ -465,6 +465,29 @@ class FO1Model:
             vision_tokens = jnp.concatenate([vision_tokens, *extra], axis=0)
         return vision_tokens, region_tokens[:n_real], nb, region_tokens
 
+    def _stop_token_sequences(self, stop_strings) -> tuple:
+        """Tokenize stop keywords into id tuples for the jitted n-gram stop
+        (reference KeywordsStoppingCriteria matches keywords both as id
+        sequences and decoded strings, mm_utils.py:137-181; the id-sequence
+        match happens inside decode_loop, the string match in
+        decode_to_text). Accepts strings or pre-tokenized id sequences."""
+        seqs = []
+        for s in stop_strings or ():
+            if isinstance(s, (list, tuple)):
+                seqs.append(tuple(int(t) for t in s))
+            elif self.tokenizer is not None:
+                seqs.append(tuple(int(t) for t in self.tokenizer.encode(s)))
+        return tuple(seqs)
+
+    @staticmethod
+    def _trim_stop_tail(out: np.ndarray, stop_seqs: tuple) -> np.ndarray:
+        """Drop a trailing matched stop sequence from generated ids."""
+        for seq in stop_seqs:
+            n = len(seq)
+            if n and len(out) >= n and out[-n:].tolist() == list(seq):
+                return out[:-n]
+        return out
+
     def generate(
         self,
         messages: list[dict],
@@ -474,15 +497,19 @@ class FO1Model:
         seed: int = 0,
         max_pixels: int | None = None,
         eos_token_id: int | None = None,
+        stop_strings=None,
         streamer=None,
         timer=None,
     ) -> GenerationResult:
         """streamer: optional callable(text_so_far) — switches to a
         step-by-step decode (the reference streams via HF TextStreamer,
-        mm_utils.py:628-630). timer: optional runtime.profiler.StageTimer."""
+        mm_utils.py:628-630). timer: optional runtime.profiler.StageTimer.
+        stop_strings: extra stop keywords (strings or id sequences) beyond
+        EOS — multi-token keywords stop the jitted loop via n-gram match."""
         from vlm_fo1_tpu.runtime.profiler import StageTimer
 
         cfg = self.cfg
+        stop_seqs = self._stop_token_sequences(stop_strings)
         # mid-pipeline device syncs exist only for stage profiling: each
         # synchronized dispatch costs a full ~26ms host<->device round trip
         # on the tunneled link, so without a caller timer everything stays
@@ -498,7 +525,7 @@ class FO1Model:
             handle = self._launch_fused(
                 [prep], max_new_tokens=max_new_tokens,
                 temperature=temperature, top_p=top_p, seed=seed,
-                eos_token_id=eos_token_id)
+                eos_token_id=eos_token_id, stop_sequences=stop_seqs)
             return self.finish_batch(handle)[0]
         with timer.stage("encode"):
             vision_tokens, region_tokens, nb, region_padded = self.encode(prep)
@@ -531,12 +558,14 @@ class FO1Model:
         gen_cfg = GenerationConfig(
             max_new_tokens=max_new_tokens, temperature=temperature,
             top_p=top_p, eos_token_id=eos,
-            pad_token_id=cfg.pad_token_id)
+            pad_token_id=cfg.pad_token_id, stop_sequences=stop_seqs)
         with timer.stage("decode"):
             if streamer is not None:
                 tokens, steps = self._decode_streaming(
                     cache, first_logits, s, int(prep["rope_deltas"][0, 0]),
-                    gen_cfg, streamer)
+                    gen_cfg, streamer,
+                    stop_strings=[x for x in (stop_strings or ())
+                                  if isinstance(x, str)])
             else:
                 tokens, steps, _ = decode_loop(
                     self.params["text"], cfg.text, gen_cfg, cache,
@@ -550,8 +579,12 @@ class FO1Model:
         out = tokens[:steps]
         if eos in out.tolist():
             out = out[:out.tolist().index(eos)]
-        text = decode_to_text(self.tokenizer, tokens[:steps],
-                              eos) if self.tokenizer else ""
+        out = self._trim_stop_tail(out, stop_seqs)
+        text = decode_to_text(self.tokenizer, tokens[:steps], eos,
+                              stop_strings=("<|im_end|>",) + tuple(
+                                  x for x in (stop_strings or ())
+                                  if isinstance(x, str))) \
+            if self.tokenizer else ""
         return GenerationResult(text=text, token_ids=out,
                                 prompt_len=s, num_steps=steps)
 
@@ -574,6 +607,7 @@ class FO1Model:
         top_p: float = 1.0,
         seed: int = 0,
         eos_token_id: int | None = None,
+        stop_sequences: tuple = (),
     ) -> dict:
         """launch_batch via the single fused program (_serve_batch): one
         device launch per batch instead of encode + splice + prefill +
@@ -600,7 +634,8 @@ class FO1Model:
         eos = cfg.eos_token_id if eos_token_id is None else eos_token_id
         gen_cfg = GenerationConfig(
             max_new_tokens=max_new_tokens, temperature=temperature,
-            top_p=top_p, eos_token_id=eos, pad_token_id=cfg.pad_token_id)
+            top_p=top_p, eos_token_id=eos, pad_token_id=cfg.pad_token_id,
+            stop_sequences=stop_sequences)
         tokens, steps = _serve_batch(
             self.params, cfg, gen_cfg, enc["patches"], *enc["plan_arrays"],
             enc["aux"], enc["aux_boxes"], enc["vt_boxes"], jnp.asarray(ids),
@@ -610,7 +645,7 @@ class FO1Model:
             grid=enc["grid"], pad_len=pad_len,
             cache_len=pad_len + max_new_tokens)
         return {"tokens": tokens, "steps": steps, "seq_lens": seq_lens,
-                "eos": eos}
+                "eos": eos, "stop_sequences": stop_sequences}
 
     def _encode_many(self, preps: list[dict]):
         """Encode a list of prepared inputs, batching same-geometry
@@ -695,6 +730,7 @@ class FO1Model:
         top_p: float = 1.0,
         seed: int = 0,
         eos_token_id: int | None = None,
+        stop_strings=None,
     ) -> dict:
         """Dispatch the full device pipeline (encode -> splice -> prefill ->
         decode loop) for a batch of prepared inputs WITHOUT any host<->device
@@ -773,6 +809,7 @@ class FO1Model:
         tokens = np.asarray(handle["tokens"])
         steps = int(handle["steps"])
         seq_lens, eos = handle["seq_lens"], handle["eos"]
+        stop_seqs = handle.get("stop_sequences", ())
 
         results = []
         for i in range(tokens.shape[0]):
@@ -780,6 +817,7 @@ class FO1Model:
             out = row
             if eos in out.tolist():
                 out = out[:out.tolist().index(eos)]
+            out = self._trim_stop_tail(out, stop_seqs)
             text = decode_to_text(self.tokenizer, row, eos) \
                 if self.tokenizer else ""
             results.append(GenerationResult(
@@ -788,20 +826,32 @@ class FO1Model:
         return results
 
     def _decode_streaming(self, cache, first_logits, seq_len, delta, gen_cfg,
-                          streamer):
+                          streamer, stop_strings=()):
         """Host-driven step decode that invokes `streamer(text_so_far)` after
-        every token (interactive parity with the reference's TextStreamer)."""
+        every token (interactive parity with the reference's TextStreamer).
+        stop_strings are matched at STRING level against the decoded text —
+        the robust half of KeywordsStoppingCriteria (mm_utils.py:158-172):
+        keywords whose token boundaries shift under BPE still stop."""
         from vlm_fo1_tpu.runtime.generate import decode_step
 
         tokens = []
         cur = int(np.asarray(jnp.argmax(first_logits, -1))[0])
         for step in range(gen_cfg.max_new_tokens):
             tokens.append(cur)
+            text_now = None
             if self.tokenizer is not None:
-                streamer(decode_to_text(self.tokenizer, tokens,
-                                        gen_cfg.eos_token_id))
+                text_now = decode_to_text(
+                    self.tokenizer, tokens, gen_cfg.eos_token_id,
+                    stop_strings=("<|im_end|>",) + tuple(stop_strings))
+                streamer(text_now)
             if cur == gen_cfg.eos_token_id:
                 break
+            if text_now is not None and stop_strings:
+                # raw decode (no strip/trim) for containment, like the
+                # reference's KeywordsStoppingCriteria string check
+                raw = self.tokenizer.decode([int(t) for t in tokens])
+                if any(s in raw for s in stop_strings):
+                    break
             logits, cache = decode_step(
                 self.params["text"], self.cfg.text, cache,
                 jnp.asarray([cur], jnp.int32),

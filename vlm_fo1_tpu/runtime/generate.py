@@ -28,6 +28,11 @@ class GenerationConfig:
     top_p: float = 1.0
     eos_token_id: int = 151645  # <|im_end|>
     pad_token_id: int = 151643
+    # multi-token keyword stopping (reference KeywordsStoppingCriteria,
+    # mm_utils.py:137-181, matches keywords as token id sequences): tuple of
+    # id tuples, n-gram-matched against the tail of the generated ids inside
+    # the jitted loop. Static (part of the jit key), like the other fields.
+    stop_sequences: tuple = ()
 
 
 def pad_to_bucket(n: int, multiple: int = 128) -> int:
@@ -138,6 +143,17 @@ def decode_loop(
         nxt = jnp.where(done, gen_cfg.pad_token_id, nxt)
         tokens = tokens.at[:, step].set(nxt)
         done = done | (nxt == gen_cfg.eos_token_id)
+        for seq in gen_cfg.stop_sequences:
+            n = len(seq)
+            if n == 0 or n > max_new:
+                continue
+            # window of the last n generated ids ending at `step`
+            # (dynamic_slice clamps early steps; the step+1 >= n guard
+            # keeps those clamped windows from matching)
+            win = jax.lax.dynamic_slice_in_dim(tokens, step - n + 1, n,
+                                               axis=1)
+            hit = jnp.all(win == jnp.asarray(seq, jnp.int32)[None], axis=1)
+            done = done | (hit & (step + 1 >= n))
         return cache, tokens, nxt, step + 1, done, key
 
     def cond(state):
@@ -150,6 +166,9 @@ def decode_loop(
     tokens = jnp.full((b, max_new), gen_cfg.pad_token_id, jnp.int32)
     tokens = tokens.at[:, 0].set(tok0)
     done0 = tok0 == gen_cfg.eos_token_id
+    for seq in gen_cfg.stop_sequences:
+        if len(seq) == 1:  # the loop body's window starts at step 1
+            done0 = done0 | (tok0 == seq[0])
 
     state = (kv_cache, tokens, tok0, jnp.int32(1), done0, key)
     state = jax.lax.while_loop(cond, body, state)
