@@ -231,6 +231,32 @@ def test_pallas_core_chunked_levels_match(rng):
         rng.standard_normal((b, lq, m, len(shapes) * p)).astype(np.float32)),
         -1).reshape(b, lq, m, len(shapes), p)
     want = np.asarray(ms_deform_attn_core(value, shapes, loc, w))
-    got = np.asarray(_msda_pallas(value, shapes, loc, w, n_points=p,
-                                  interpret=True, qb=16, chunk_rows=48))
+    loc_flat = loc.transpose(0, 1, 3, 2, 4, 5).reshape(b, lq, -1)
+    aw_flat = w.transpose(0, 1, 3, 2, 4).reshape(b, lq, -1)
+    got = np.asarray(_msda_pallas(value, shapes, loc_flat, aw_flat,
+                                  n_heads=m, interpret=True, qb=256,
+                                  chunk_rows=48))
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="compiled-kernel check needs a real TPU")
+def test_pallas_compiled_matches_reference_on_tpu(rng):
+    """The COMPILED kernel (not interpret mode) vs the XLA core on device.
+    Interpret mode hides compiled-only numerics hazards: the round-1 kernel
+    shipped a ~0.4% weight error because default-precision MXU f32 matmuls
+    round operands to bf16 — only an on-device oracle check caught it."""
+    from vlm_fo1_tpu.ops.msda_pallas import ms_deform_attn_core_fast
+
+    shapes = ((57, 63), (29, 32), (15, 16))
+    s = sum(h * w for h, w in shapes)
+    b, lq, m, p, d = 1, 200, 8, 4, 32
+    value = jnp.asarray(rng.standard_normal((b, s, m, d)), jnp.bfloat16)
+    loc = jnp.asarray(rng.uniform(0, 1, (b, lq, m, len(shapes), p, 2)),
+                      jnp.float32)
+    w = jax.nn.softmax(jnp.asarray(
+        rng.standard_normal((b, lq, m, len(shapes) * p)), jnp.float32),
+        -1).reshape(b, lq, m, len(shapes), p)
+    want = np.asarray(ms_deform_attn_core(value, shapes, loc, w))
+    got = np.asarray(ms_deform_attn_core_fast(value, shapes, loc, w))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)

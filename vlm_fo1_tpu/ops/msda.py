@@ -133,11 +133,26 @@ def ms_deform_attn_core_reference(
     return out.reshape(b, lq, m * d)
 
 
+def offsets_lane_perm(n_heads: int, n_levels: int, n_points: int):
+    """Output-lane permutation for the sampling_offsets projection: the
+    reference orders lanes (head, level, point, coord)
+    (ms_deform_attn.py:142-147 view); the TPU build stores them
+    (level, head, point, coord) so level slices are contiguous lane ranges
+    in the flat Pallas layout (ops/msda_pallas.py module doc). Applied to
+    checkpoint columns at load (upn/convert.py) and to the init bias."""
+    import numpy as np
+
+    src = np.arange(n_heads * n_levels * n_points * 2).reshape(
+        n_heads, n_levels, n_points, 2)
+    return src.transpose(1, 0, 2, 3).reshape(-1)
+
+
 def msda_layer_init(key, d_model: int, n_levels: int, n_heads: int,
                     n_points: int, dtype=jnp.float32) -> dict:
     """Parameters for a full MSDeformAttn layer (projections + offset heads),
     with the reference's compass-direction offset-bias init
-    (ops/modules/ms_deform_attn.py:77-97)."""
+    (ops/modules/ms_deform_attn.py:77-97). The offsets projection's output
+    lanes are stored level-major (see offsets_lane_perm)."""
     import numpy as np
 
     from vlm_fo1_tpu import nn
@@ -149,6 +164,7 @@ def msda_layer_init(key, d_model: int, n_levels: int, n_heads: int,
     grid = np.tile(grid[:, None, None, :], (1, n_levels, n_points, 1))
     for i in range(n_points):
         grid[:, :, i, :] *= i + 1
+    grid = grid.transpose(1, 0, 2, 3)  # (m,l,p,c) -> (l,m,p,c) lane order
 
     p = {
         "sampling_offsets": {
@@ -193,38 +209,64 @@ def msda_layer(
     nlvl = len(spatial_shapes)
     m, d = n_heads, c // n_heads
 
+    import numpy as np
+
     value = nn.linear(p["value_proj"], value_flatten)
     if key_padding_mask is not None:
         value = jnp.where(key_padding_mask[..., None], 0.0, value)
     value = value.reshape(b, -1, m, d)
 
-    offsets = nn.linear(p["sampling_offsets"], query).reshape(
-        b, lq, m, nlvl, n_points, 2)
-    aw = nn.linear(p["attention_weights"], query).reshape(
-        b, lq, m, nlvl * n_points)
-    aw = jax.nn.softmax(aw.astype(jnp.float32), axis=-1).reshape(
-        b, lq, m, nlvl, n_points)
+    # All per-sample tensors stay FLAT [B, Lq, lanes] (lane order
+    # level-major (l, m, p[, c]); the projection weights are stored in that
+    # order, see offsets_lane_perm): 6-D [B,Lq,M,L,P,2] intermediates get
+    # (8,128)-tiled layouts on TPU whose thin minor dims waste ~97% of
+    # every pass and force layout-conversion copies — profiled at over
+    # half the per-layer UPN encoder time in round 1.
+    offsets = nn.linear(p["sampling_offsets"], query)    # [B,Lq,L*M*P*2]
+    aw = nn.linear(p["attention_weights"], query)        # [B,Lq,M*L*P]
+    aw = jax.nn.softmax(
+        aw.reshape(b, lq, m, nlvl * n_points).astype(jnp.float32),
+        axis=-1).reshape(b, lq, -1)
+    # (m, l, p) -> (l, m, p): constant lane permutation
+    perm = np.arange(m * nlvl * n_points).reshape(
+        m, nlvl, n_points).transpose(1, 0, 2).reshape(-1)
+    aw_flat = jnp.take(aw, jnp.asarray(perm), axis=-1)
 
-    wh = jnp.asarray([[w, h] for (h, w) in spatial_shapes], jnp.float32)
+    mp2 = m * n_points * 2
+    wv = np.array([w for h, w in spatial_shapes], np.float32)
+    hv = np.array([h for h, w in spatial_shapes], np.float32)
+    inv_wh = np.empty(nlvl * mp2, np.float32)
+    inv_wh[0::2] = np.repeat(1.0 / wv, m * n_points)
+    inv_wh[1::2] = np.repeat(1.0 / hv, m * n_points)
+
+    def bcast_ref(r):  # [B, Lq, L, k] -> [B, Lq, L*M*P*k] (l, m, p, c)
+        k = r.shape[-1]
+        return jnp.broadcast_to(
+            r[:, :, :, None, :], (b, lq, nlvl, m * n_points, k)).reshape(
+            b, lq, -1)
+
+    offsets = offsets.astype(jnp.float32)
     if reference_points.shape[-1] == 2:
-        loc = (reference_points[:, :, None, :, None, :]
-               + offsets / wh[None, None, None, :, None, :])
+        loc_flat = bcast_ref(reference_points) + offsets * jnp.asarray(
+            inv_wh)
     elif reference_points.shape[-1] == 4:
-        norm = (wh[None, None, None, :, None, :] if use_4d_normalizer
-                else jnp.float32(n_points))
-        loc = (reference_points[:, :, None, :, None, :2]
-               + offsets / norm
-               * reference_points[:, :, None, :, None, 2:] * 0.5)
+        norm = (jnp.asarray(inv_wh) if use_4d_normalizer
+                else 1.0 / jnp.float32(n_points))
+        loc_flat = (bcast_ref(reference_points[..., :2])
+                    + offsets * norm
+                    * bcast_ref(reference_points[..., 2:]) * 0.5)
     else:
         raise ValueError("reference_points last dim must be 2 or 4")
 
-    out = _dispatch_core(value, spatial_shapes, loc, aw, backend)
+    out = _dispatch_core(value, spatial_shapes, loc_flat, aw_flat, m,
+                         backend)
     return nn.linear(p["output_proj"], out.astype(query.dtype))
 
 
-def _dispatch_core(value, spatial_shapes, loc, aw, backend=None):
-    """Pick the MSDA sampling core. On TPU the Pallas kernel
-    (ops/msda_pallas.py) replaces the XLA gather formulation — XLA:TPU
+def _dispatch_core(value, spatial_shapes, loc_flat, aw_flat, n_heads,
+                   backend=None):
+    """Pick the MSDA sampling core (flat-layout inputs, see msda_pallas).
+    On TPU the Pallas kernel replaces the XLA gather formulation — XLA:TPU
     lowers the gather to a serial slice loop that is ~1000x slower at the
     800x1333 encoder workload. Env override: VLM_FO1_MSDA_BACKEND."""
     import os
@@ -235,9 +277,13 @@ def _dispatch_core(value, spatial_shapes, loc, aw, backend=None):
         backend = ("pallas" if jax.default_backend() == "tpu"
                    and (4 * d) % 128 == 0 else "xla")
     if backend == "pallas":
-        from vlm_fo1_tpu.ops.msda_pallas import ms_deform_attn_core_fast
+        from vlm_fo1_tpu.ops.msda_pallas import ms_deform_attn_core_flat
 
         interpret = os.environ.get("VLM_FO1_MSDA_INTERPRET") == "1"
-        return ms_deform_attn_core_fast(value, tuple(spatial_shapes), loc, aw,
+        return ms_deform_attn_core_flat(value, tuple(spatial_shapes),
+                                        loc_flat, aw_flat, n_heads,
                                         interpret)
+    from vlm_fo1_tpu.ops.msda_pallas import _flat_to_6d
+
+    loc, aw = _flat_to_6d(spatial_shapes, loc_flat, aw_flat, n_heads)
     return ms_deform_attn_core(value, spatial_shapes, loc, aw)

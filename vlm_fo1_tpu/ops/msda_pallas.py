@@ -10,6 +10,16 @@ kernel at detect_tools/upn/ops/src/cuda/ms_deform_im2col_cuda.cuh:237-299).
 
 Design:
 
+- **Flat lane layouts.** Round 1 computed the sampling math over 6-D
+  [B, Lq, M, L, P, 2] tensors; XLA:TPU tiles the last two dims as (8, 128),
+  so P=4/c=2 minors waste ~97% of every pass and force layout-conversion
+  copies (profiled: over half the per-layer time was this glue). Everything
+  here is [B, Lq, lanes] with lanes = (level, head, point[, corner/coord])
+  flattened — per-(l,m,p) constants become precomputed lane vectors, level
+  slices are contiguous lane ranges, and the kernel's per-head blocks are
+  carved by the BlockSpec index map (lane-block index = head), so no
+  per-head transpose/copy ever materializes.
+
 - **Quad packing.** For each padded level map [Hp*Wp, D] we precompute, with
   cheap vectorized XLA shifts, a map
 
@@ -17,36 +27,37 @@ Design:
 
   so a sample's whole 2x2 bilinear neighborhood is ONE row of 4*D = 128
   lanes (D = 32 for UPN's d_model 256 / 8 heads) — a single dynamic VMEM
-  load per sample, fully using the vector unit's lane width. (In VMEM this
-  packing is free: a [R, 32] map would be lane-padded to 128 anyway.)
+  load per sample, fully using the vector unit's lane width.
 
-- **Aligned loads.** Mosaic requires dynamic sublane offsets to be provably
-  8-aligned, so the kernel fetches the aligned (8, 4D) block containing the
-  row and selects the target row with an iota mask + sublane reduction; the
-  select/reduce runs in the value dtype (exact: the 7 other lanes are exact
-  zeros), converting only the selected row to f32.
+- **Group-window fast path.** Per (8-query sublane group, sample slot): if
+  all 8 sample rows fit one 16-row window (precomputed on the XLA side —
+  common in the UPN encoder, where adjacent-pixel queries sample adjacent
+  rows), ONE (16, 4D) load + an (8,16) one-hot MXU matmul selects all 8
+  rows at once; the 8 in-window offsets arrive packed 4 bits each in a
+  single SMEM word. Otherwise the slow path loads each sample's aligned
+  (8, 4D) block, dynamic-rotates the target row onto its query's sublane
+  and merges via a constant row mask. Branching is per GROUP via pl.when
+  (statement-level — a real branch; lax.cond with vector results executes
+  BOTH sides on Mosaic, measured 2x).
 
-- **Weight expansion.** The four bilinear corner weights (already folded
-  with the softmaxed attention weight and grid_sample's zero-padding
-  validity) are expanded to the quad lane layout by one small MXU matmul per
-  query block against a constant [4P, P*4D] expansion matrix.
+- **Exact weights.** The per-query corner weights are expanded to the
+  packed lane layout by a matmul against a constant 0/1 matrix; MXU matmuls
+  at default precision round f32 operands to bf16 (a ~0.4% weight error
+  that interpret mode hides — round 1 shipped with it), so the expansion
+  runs as a bf16x3 split (three full-rate exact dots). One-hot row
+  selection is exact at any precision.
 
-- **Level chunking.** A level map must fit in VMEM; stride-4 level-0 maps
-  (e.g. 224x256 at the 896x1024 bucket, ~15 MB quad-packed bf16) do not,
-  double-buffered. Large levels are split into row bands of at most
-  `_CHUNK_ROWS`; each band's kernel invocation zeroes the weights of
-  out-of-band samples, and a per-8-query-group occupancy flag (in SMEM)
-  skips groups with no in-band samples, so total work stays ~one pass over
-  the samples regardless of chunk count.
+- **Level chunking.** A level map must fit in VMEM; large levels are split
+  into row bands, with out-of-band samples masked to weight zero and a
+  per-group occupancy flag (SMEM) skipping empty groups, so total work
+  stays ~one pass over the samples regardless of chunk count. Small levels
+  are concatenated into shared passes.
 
-Numerics match `ms_deform_attn_core` exactly up to the dtype of the packed
-map (the production UPN path runs bf16 values; accumulation is f32, like the
-reference's fp16->fp32 upcast path ms_deform_attn.py:181-193).
-
-Gradients: the kernel is forward-only; `ms_deform_attn_core_fast` wraps it in
-a custom_vjp whose backward differentiates the XLA reference formulation —
-UPN is inference-only (SURVEY §2.2), so that path only serves `jax.grad`
-parity tests.
+Numerics match `ms_deform_attn_core` to f32 round-off (verified on-device
+against a CPU oracle, not just in interpret mode). Gradients: forward-only;
+`ms_deform_attn_core_flat` wraps it in a custom_vjp whose backward
+differentiates the XLA reference formulation — UPN is inference-only
+(SURVEY §2.2), so that path only serves `jax.grad` parity tests.
 """
 
 from __future__ import annotations
@@ -62,60 +73,106 @@ from jax.experimental.pallas import tpu as pltpu
 from vlm_fo1_tpu.ops.msda import ms_deform_attn_core
 
 _LANES = 128
-# bytes per VMEM-resident band of a level map (doubled by pipelining buffers;
-# a 200x336 stride-4 level-0 map splits into ~4 bands at bf16)
-_CHUNK_BYTES = 5 * 1024 * 1024
+# bytes per VMEM-resident band of a level map (doubled by pipelining
+# buffers; a 224x256 stride-4 level-0 map splits into ~4 bands at bf16).
+# 4MB: 2 band buffers + the w128 scratch (2MB at n_samp=16) + w4/ex/out
+# blocks must fit the 16MB scoped VMEM limit.
+_CHUNK_BYTES = 4 * 1024 * 1024
 
 
-def _expansion_matrix(n_points: int, d: int) -> np.ndarray:
-    """[4*P, P*4*D] matrix: row (p*4+c) has ones in lanes
-    [p*4D + c*D, p*4D + (c+1)*D) — expands per-corner scalars to the
+def _expansion_matrix(n_samp: int, d: int) -> np.ndarray:
+    """[4*S, S*4*D] 0/1 matrix: row (s*4+c) has ones in lanes
+    [s*4D + c*D, s*4D + (c+1)*D) — expands per-(slot, corner) scalars to the
     quad-packed lane layout."""
-    ex = np.zeros((4 * n_points, n_points * 4 * d), np.float32)
-    for p in range(n_points):
+    ex = np.zeros((4 * n_samp, n_samp * 4 * d), np.float32)
+    for s in range(n_samp):
         for c in range(4):
-            ex[p * 4 + c, p * 4 * d + c * d:p * 4 * d + (c + 1) * d] = 1.0
+            ex[s * 4 + c, s * 4 * d + c * d:s * 4 * d + (c + 1) * d] = 1.0
     return ex
 
 
-def _msda_level_kernel(starts_ref, gflag_ref, w4_ref, ex_ref, val4_ref,
-                       out_ref, w128_ref, *, n_points: int, d: int, qb: int):
-    # starts: [1, QB, P] int32 SMEM   gflag: [1, QB//8, 1] int32 SMEM
-    # w4: [1, QB, 4P] f32   ex: [4P, P*4D] f32   val4: [1, R, 4D]
-    # out: [1, QB, D] f32
-    # w128 (scratch): [QB, P*4D] f32
-    w128_ref[:] = jnp.dot(w4_ref[0], ex_ref[:],
-                          preferred_element_type=jnp.float32)
-    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 4 * d), 0)
+def _msda_level_kernel(gb_ref, dw_ref, s0r_ref, w4_ref, ex_ref,
+                       val4_ref, out_ref, w128_ref, *, n_samp: int, d: int,
+                       qb: int):
+    # Per-head-slab blocks; index arrays are flattened to a dense
+    # [.., QB*S/128, 128] layout (element k at [k >> 7, k & 127]) — the
+    # only 128-lane-exact shape Pallas block rules accept, and free of the
+    # up-to-32x tile padding a thin [.., S<128] minor dim would cost. The
+    # per-group arrays (gb, dw) arrive replicated across each group's 8
+    # queries so all three share that layout.
+    # gb: [1, QB*S/128, 128] int32 SMEM — per (group, slot): 8-aligned base
+    #     of the 16-row fast-path window; slot 0 doubles as the group flag
+    #     (-2 skip / -1 slow / >=0 fast)
+    # dw: [1, QB*S/128, 128] int32 SMEM — the 8 queries' in-window offsets,
+    #     packed 4 bits each (fast path)
+    # s0r: [1, QB*S/128, 128] int32 SMEM — per sample, (8-aligned row base)
+    #     + (the circular shift landing the row on its query's sublane)
+    # w4: [1, QB, 4S] f32 (lane order slot-major: s*4 + corner)
+    # ex: [4S, S*4D] bf16   val4: [1, R, 4D]
+    # out: [1, QB, D] f32   w128 scratch: [QB, S*4D] f32
+    w4v = w4_ref[0]
+    hi = w4v.astype(jnp.bfloat16)
+    mid = (w4v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    lo = (w4v - hi.astype(jnp.float32)
+          - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    exv = ex_ref[:]
+    # bf16x3 split: exact f32 expansion at full MXU rate (default-precision
+    # f32 matmuls silently round operands to bf16; HIGHEST is 6x slower and
+    # rejected for bf16 operands)
+    w128_ref[:] = (jnp.dot(hi, exv, preferred_element_type=jnp.float32)
+                   + jnp.dot(mid, exv, preferred_element_type=jnp.float32)
+                   + jnp.dot(lo, exv, preferred_element_type=jnp.float32))
+    vdt = val4_ref.dtype
+    iota16 = jax.lax.broadcasted_iota(jnp.int32, (8, 16), 1)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    shifts = row_ids * 4
+
+    def _fold(acc):
+        return (acc[:, 0:d] + acc[:, d:2 * d]
+                + acc[:, 2 * d:3 * d] + acc[:, 3 * d:4 * d])
+
+    def idx(ref, k):
+        return ref[0, k >> 7, k & 127]
 
     def body(q8, _):
         q0 = pl.multiple_of(q8 * 8, 8)
+        g0 = q0 * n_samp
+        flag = idx(gb_ref, g0)
 
-        @pl.when(gflag_ref[0, q8, 0] == 0)
+        @pl.when(flag == -2)
         def _skip():
             out_ref[0, pl.ds(q0, 8), :] = jnp.zeros((8, d), jnp.float32)
 
-        @pl.when(gflag_ref[0, q8, 0] != 0)
-        def _compute():
-            wblk = w128_ref[pl.ds(q0, 8), :]              # (8, P*4D)
-            rows = []
-            for i in range(8):
-                # accumulate per-sublane: each sample's row lands on its own
-                # sublane of acc8 (weight already applied via the iota mask),
-                # one fold per query instead of one reduce per sample
-                acc8 = jnp.zeros((8, 4 * d), jnp.float32)
-                for p in range(n_points):
-                    r = starts_ref[0, q0 + i, p]
-                    r0 = pl.multiple_of((r // 8) * 8, 8)
-                    blk = val4_ref[0, pl.ds(r0, 8), :]    # (8, 4D)
-                    wrow = jnp.broadcast_to(
-                        wblk[i:i + 1, p * 4 * d:(p + 1) * 4 * d], (8, 4 * d))
-                    selw = jnp.where(sub_iota == r - r0, wrow, 0.0)
-                    acc8 = acc8 + blk * selw
-                acc = jnp.sum(acc8, 0, keepdims=True)     # (1, 4D)
-                rows.append(acc[:, 0:d] + acc[:, d:2 * d]
-                            + acc[:, 2 * d:3 * d] + acc[:, 3 * d:4 * d])
-            out_ref[0, pl.ds(q0, 8), :] = jnp.concatenate(rows, 0)
+        @pl.when(flag >= 0)
+        def _fast():
+            acc = jnp.zeros((8, 4 * d), jnp.float32)
+            for s in range(n_samp):
+                base = pl.multiple_of(idx(gb_ref, g0 + s), 8)
+                word = idx(dw_ref, g0 + s)
+                delta8 = jnp.right_shift(
+                    jnp.full((8, 1), word, jnp.int32), shifts) & 15
+                blk = val4_ref[0, pl.ds(base, 16), :]      # (16, 4D)
+                sel = jnp.dot((iota16 == delta8).astype(vdt), blk,
+                              preferred_element_type=jnp.float32)
+                acc = acc + sel * w128_ref[pl.ds(q0, 8),
+                                           s * 4 * d:(s + 1) * 4 * d]
+            out_ref[0, pl.ds(q0, 8), :] = _fold(acc)
+
+        @pl.when(flag == -1)
+        def _slow():
+            acc = jnp.zeros((8, 4 * d), jnp.float32)
+            for s in range(n_samp):
+                m = jnp.zeros((8, 4 * d), jnp.float32)
+                for i in range(8):
+                    packed = idx(s0r_ref, (q0 + i) * n_samp + s)
+                    rb = pl.multiple_of(packed & -8, 8)
+                    blk = val4_ref[0, pl.ds(rb, 8), :]     # (8, 4D)
+                    # tpu.dynamic_rotate is 32-bit only -> rotate in f32
+                    rot = pltpu.roll(blk.astype(jnp.float32), packed & 7, 0)
+                    m = jnp.where(row_ids == i, rot, m)
+                acc = acc + m * w128_ref[pl.ds(q0, 8),
+                                         s * 4 * d:(s + 1) * 4 * d]
+            out_ref[0, pl.ds(q0, 8), :] = _fold(acc)
 
         return 0
 
@@ -123,7 +180,9 @@ def _msda_level_kernel(starts_ref, gflag_ref, w4_ref, ex_ref, val4_ref,
 
 
 def _quad_pack(val_level: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
-    """[BM, H*W, D] -> padded quad-packed [BM, (H+2)*(W+2) (8-aligned), 4D]."""
+    """[BM, H*W, D] -> padded quad-packed [BM, R, 4D] with R a multiple of 8
+    PLUS 8 slack rows (the fast path's 16-row window may extend one block
+    past the last sample's aligned base)."""
     bm, _, dd = val_level.shape
     vp = jnp.pad(val_level.reshape(bm, h, w, dd),
                  ((0, 0), (1, 1), (1, 1), (0, 0)))
@@ -133,93 +192,210 @@ def _quad_pack(val_level: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     rw = jnp.roll(flat, -wp, axis=1)
     rw1 = jnp.roll(flat, -(wp + 1), axis=1)
     packed = jnp.concatenate([flat, r1, rw, rw1], axis=-1)
-    # pad rows to a multiple of 8: the kernel fetches aligned (8, 4D) blocks
-    rpad = -(-packed.shape[1] // 8) * 8 - packed.shape[1]
+    rpad = -(-packed.shape[1] // 8) * 8 - packed.shape[1] + 8
     return jnp.pad(packed, ((0, 0), (0, rpad), (0, 0)))
 
 
-def _level_call(starts, w4, ex, val4, *, n_points, d, qb, interpret):
-    """One pallas_call over one row band of one level.
-    starts [BM, Lq_pad, P] (band-local), w4 [BM, Lq_pad, 4P] (zeroed outside
-    the band), val4 [BM, Rband, 4D]."""
-    bm, lq_pad, _ = starts.shape
+def _group_meta(starts_p, w4_p, b, m, lq_pad, n_samp):
+    """Per-(group, head) kernel metadata from pass-local sample rows.
+
+    starts_p [B, Lqp, M*S], w4_p [B, Lqp, M*4S] ->
+      s0r  [B, Lqp, M*S]   packed (aligned base) + (rotate amount)
+      gb   [B, nq8, M*S]   fast-path window base
+      dw   [B, nq8, M*S]   packed 4-bit deltas
+      gflag [B, nq8, M]    0 skip / 1 slow / 2 fast
+    """
+    nq8 = lq_pad // 8
+    s0 = (starts_p // 8) * 8
+    qmod8 = (jnp.arange(lq_pad, dtype=jnp.int32) % 8)[None, :, None]
+    s0r = s0 + (qmod8 - (starts_p - s0)) % 8
+
+    sg = starts_p.reshape(b, nq8, 8, m, n_samp)
+    gmin = sg.min(axis=2)
+    gmax = sg.max(axis=2)                       # [B, nq8, M, S]
+    gb = (gmin // 8) * 8
+    all_fast = ((gmax - gb) < 16).all(axis=-1)  # [B, nq8, M]
+    import os
+    if os.environ.get("VLM_FO1_MSDA_FORCE") == "slow":  # debug knob
+        all_fast = jnp.zeros_like(all_fast)
+    delta = jnp.clip(sg - gb[:, :, None], 0, 15)
+    dw = (delta << (4 * jnp.arange(8, dtype=jnp.int32)
+                    )[None, None, :, None, None]).sum(axis=2)
+    wg = (w4_p != 0).reshape(b, nq8, 8, m, 4 * n_samp)
+    occ = wg.any(axis=(2, 4))                   # [B, nq8, M]
+    # encode the group flag in gb slot 0 (-2 skip / -1 slow / >=0 fast):
+    # a separate per-group flag array would need a block shape Pallas
+    # rejects (minor dim < 128 and not the whole array)
+    flag0 = jnp.where(occ, jnp.where(all_fast, gb[..., 0], -1), -2)
+    gb = gb.at[..., 0].set(flag0)
+
+    def rep8(x):  # replicate group values across their 8 queries so gb/dw
+        # share s0r's dense [.., Lqp*S/128, 128] layout
+        return jnp.broadcast_to(x[:, :, None], (b, nq8, 8, m, n_samp)
+                                ).reshape(b, lq_pad, m * n_samp)
+
+    return s0r, rep8(gb), rep8(dw)
+
+
+def _to_slab2(x, m, last):
+    """[B, rows, M*last] -> [B*M, rows*last] (dense 2-D, no tile padding)."""
+    b, rows, _ = x.shape
+    return x.reshape(b, rows, m, last).transpose(0, 2, 1, 3).reshape(
+        b * m, rows * last)
+
+
+def _to_slab3(x, m, last):
+    """[B, rows, M*last] -> [B*M, rows, last]."""
+    b, rows, _ = x.shape
+    return x.reshape(b, rows, m, last).transpose(0, 2, 1, 3).reshape(
+        b * m, rows, last)
+
+
+def _pass_call(starts_p, w4_p, val4, *, b, m, n_samp, d, qb, interpret):
+    """One pallas_call over one (level-group or row-band) pass.
+    starts_p [B, Lqp, M*S] (pass-local rows), w4_p [B, Lqp, M*4S] (zeroed
+    outside the band), val4 [BM, Rband, 4D]. Returns [BM, Lqp, D] f32."""
+    lq_pad = starts_p.shape[1]
     nqb = lq_pad // qb
     rband = val4.shape[1]
-    gflag = (w4.reshape(bm, lq_pad // 8, 8 * 4 * n_points) != 0).any(
-        -1).astype(jnp.int32)[..., None]
+    assert (qb * n_samp) % 1024 == 0, (
+        "qb*n_samp must be a multiple of 1024 so the dense [.., 128] index "
+        f"blocks have 8-divisible rows (qb={qb}, n_samp={n_samp})")
+    s0r, gb, dw = _group_meta(starts_p, w4_p, b, m, lq_pad, n_samp)
+    # per-head slabs: index arrays flatten to the dense [BM, Lqp*S/128,
+    # 128] layout (see kernel doc); w4 keeps a thin [BM, Lqp, 4S] minor
+    # (tile-padded but small)
+    rows = lq_pad * n_samp // 128
+
+    def dense128(x):
+        return _to_slab2(x, m, n_samp).reshape(b * m, rows, 128)
+
+    s0r = dense128(s0r)
+    gb = dense128(gb)
+    dw = dense128(dw)
+    w4s = _to_slab3(w4_p, m, 4 * n_samp)
+    ex = jnp.asarray(_expansion_matrix(n_samp, d), jnp.bfloat16)
+    brows = qb * n_samp // 128
     return pl.pallas_call(
-        functools.partial(_msda_level_kernel, n_points=n_points, d=d, qb=qb),
-        grid=(bm, nqb),
+        functools.partial(_msda_level_kernel, n_samp=n_samp, d=d, qb=qb),
+        grid=(b * m, nqb),
         in_specs=[
-            pl.BlockSpec((1, qb, n_points), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, brows, 128), lambda i, j: (i, j, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, qb // 8, 1), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, brows, 128), lambda i, j: (i, j, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, qb, 4 * n_points), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, brows, 128), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, qb, 4 * n_samp), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4 * n_points, n_points * 4 * d),
+            pl.BlockSpec((4 * n_samp, n_samp * 4 * d),
                          lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rband, 4 * d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, qb, d), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bm, lq_pad, d), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((qb, n_points * 4 * d), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((b * m, lq_pad, d), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((qb, n_samp * 4 * d), jnp.float32)],
         interpret=interpret,
-    )(starts, gflag, w4, ex, val4)
+    )(gb, dw, s0r, w4s, ex, val4)
+
+
+def _lane_perm(m, glen, n_points, per=1):
+    """Permutation taking source lanes (level-major: j, m, p[, x]) to
+    target lanes (head-major: m, j, p[, x]); `per` trailing elements per
+    (j, m, p) move together."""
+    src = np.arange(glen * m * n_points * per).reshape(
+        glen, m, n_points, per)
+    return src.transpose(1, 0, 2, 3).reshape(-1)
+
+
+def _corner_perm(m, glen, n_points):
+    """Source lanes (j, corner, m, p) -> target (m, j, p, corner)."""
+    src = np.arange(glen * 4 * m * n_points).reshape(glen, 4, m, n_points)
+    return src.transpose(2, 0, 3, 1).reshape(-1)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("spatial_shapes", "n_points", "interpret", "qb",
+    static_argnames=("spatial_shapes", "n_heads", "interpret", "qb",
                      "chunk_rows"))
-def _msda_pallas(value, spatial_shapes, sampling_locations,
-                 attention_weights, *, n_points, interpret=False, qb=256,
-                 chunk_rows=None):
+def _msda_pallas(value, spatial_shapes, loc_flat, aw_flat, *, n_heads,
+                 interpret=False, qb=256, chunk_rows=None):
+    """Flat-layout MSDA core. loc_flat [B, Lq, L*M*P*2] and aw_flat
+    [B, Lq, L*M*P] use lane order (level, head, point[, coord]) — level
+    slices are contiguous; see module doc. Returns [B, Lq, M*D] f32."""
+    import math
+
     if chunk_rows is None:
         row_bytes = 4 * value.shape[-1] * value.dtype.itemsize
         chunk_rows = _CHUNK_BYTES // row_bytes // 8 * 8
     b, s, m, d = value.shape
-    _, lq, _, nlvl, npts, _ = sampling_locations.shape
-    assert npts == n_points and nlvl == len(spatial_shapes)
-
+    assert m == n_heads
+    L = len(spatial_shapes)
+    lq = loc_flat.shape[1]
+    n_points = loc_flat.shape[2] // (L * m * 2)
+    P = n_points
+    MP = m * P
     bm = b * m
+    # every pass's (qb * n_samp) must be a multiple of 1024 so the dense
+    # [.., 128] index blocks have 8-divisible rows; pass n_samp is always a
+    # multiple of P, so sizing qb for P covers grouped passes too
+    qmin = 1024 // math.gcd(P, 1024)
+    qb = -(-qb // qmin) * qmin
     lq_pad = -(-lq // qb) * qb
 
-    # [B, Lq, M, ...] -> [BM, Lq_pad, ...]
-    def to_bm(x, fill=0):
-        x = jnp.moveaxis(x, 2, 1).reshape((bm, lq) + x.shape[3:])
-        return jnp.pad(x, ((0, 0), (0, lq_pad - lq))
-                       + ((0, 0),) * (x.ndim - 2), constant_values=fill)
+    # ---- sampling math, fully flat ([B, Lq, lanes] with per-lane consts)
+    wv = np.array([w for h, w in spatial_shapes], np.float32)
+    hv = np.array([h for h, w in spatial_shapes], np.float32)
+    w_l = np.repeat(wv, MP)                        # [L*MP]
+    h_l = np.repeat(hv, MP)
+    wh = np.empty(2 * L * MP, np.float32)
+    wh[0::2] = w_l
+    wh[1::2] = h_l
 
-    # sampling math for ALL levels in one vectorized pass (one transpose of
-    # loc/weights instead of 3 per level), then contiguous per-level slices
-    hv = jnp.asarray([h for h, _ in spatial_shapes], jnp.float32)  # [L]
-    wv = jnp.asarray([w for _, w in spatial_shapes], jnp.float32)
-    loc = sampling_locations.astype(jnp.float32)       # [B,Lq,M,L,P,2]
-    x = loc[..., 0] * wv[:, None] - 0.5
-    y = loc[..., 1] * hv[:, None] - 0.5
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    lx = x - x0
-    ly = y - y0
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
-    hvi = hv.astype(jnp.int32)[:, None]
-    wvi = wv.astype(jnp.int32)[:, None]
-    okv = ((y0i >= -1) & (y0i <= hvi - 1) & (x0i >= -1) & (x0i <= wvi - 1))
-    sy = jnp.clip(y0i + 1, 0, hvi)
-    sx = jnp.clip(x0i + 1, 0, wvi)
-    starts_all = sy * (wvi + 2) + sx                   # [B,Lq,M,L,P]
-    aw = jnp.where(okv, attention_weights.astype(jnp.float32), 0.0)
+    t = loc_flat.astype(jnp.float32) * jnp.asarray(wh) - 0.5
+    t0 = jnp.floor(t)
+    fr = t - t0
+    t0i = t0.astype(jnp.int32)
+    x0i = t0i[..., 0::2]
+    y0i = t0i[..., 1::2]
+    lx = fr[..., 0::2]
+    ly = fr[..., 1::2]
+    wi = jnp.asarray(w_l.astype(np.int32))
+    hi = jnp.asarray(h_l.astype(np.int32))
+    ok = ((y0i >= -1) & (y0i <= hi - 1) & (x0i >= -1) & (x0i <= wi - 1))
+    starts_all = (jnp.clip(y0i + 1, 0, hi) * (wi + 2)
+                  + jnp.clip(x0i + 1, 0, wi))      # [B, Lq, L*MP]
+    aw = jnp.where(ok, aw_flat.astype(jnp.float32), 0.0)
     # corner weights, quad order (r, r+1, r+W, r+W+1)
-    w4_all = jnp.stack([(1 - ly) * (1 - lx), (1 - ly) * lx,
-                        ly * (1 - lx), ly * lx], -1) * aw[..., None]
-    starts_all = to_bm(starts_all)                     # [BM,Lqp,L,P]
-    w4_all = to_bm(w4_all.reshape(b, lq, m, nlvl, n_points * 4))
+    w00 = (1 - ly) * (1 - lx) * aw
+    w01 = (1 - ly) * lx * aw
+    w10 = ly * (1 - lx) * aw
+    w11 = ly * lx * aw
 
-    # per level: quad-packed map + its slice of starts/weights
+    def padq(x):
+        return jnp.pad(x, ((0, 0), (0, lq_pad - lq), (0, 0)))
+
+    starts_all = padq(starts_all)
+    corners = [padq(x) for x in (w00, w01, w10, w11)]
+
+    def level_slices(lvls):
+        """Pass arrays for consecutive levels `lvls`: starts [B,Lqp,M*S]
+        (head-major) and w4 [B,Lqp,M*4S] (head-major, slot*4+corner)."""
+        glen = len(lvls)
+        l0 = lvls[0]
+        sl = slice(l0 * MP, (l0 + glen) * MP)
+        st = starts_all[:, :, sl]
+        w4 = jnp.concatenate(
+            [c[:, :, l0 * MP + j * MP:(l0 + j + 1) * MP]
+             for j in range(glen) for c in corners], axis=-1)
+        if glen > 1:
+            st = jnp.take(st, jnp.asarray(_lane_perm(m, glen, P)), axis=-1)
+        w4 = jnp.take(w4, jnp.asarray(_corner_perm(m, glen, P)), axis=-1)
+        return st, w4
+
+    # ---- per level: quad-packed map
     level_data = []
     start = 0
     for lvl, (h, w) in enumerate(spatial_shapes):
@@ -229,13 +405,9 @@ def _msda_pallas(value, spatial_shapes, sampling_locations,
             jnp.moveaxis(val, 2, 1).reshape(bm, h * w, d), h, w)
         level_data.append((val4, lvl))
 
-    # pack levels into kernel passes: each pass owns one VMEM-resident map
-    # of at most chunk_rows rows. Levels small enough to share a map are
-    # CONCATENATED (one query pass samples all of them: n_samp = P * glen);
-    # oversized levels are band-split, with out-of-band samples masked to
-    # weight zero and skipped via the per-8-query-group occupancy flag.
+    # ---- pack levels into kernel passes (one VMEM-resident map each)
     out = jnp.zeros((bm, lq_pad, d), jnp.float32)
-    group = []          # [(val4, lvl)] pending small (consecutive) levels
+    group: list = []          # pending small consecutive levels
     group_rows = 0
 
     def flush(out, group):
@@ -244,41 +416,36 @@ def _msda_pallas(value, spatial_shapes, sampling_locations,
         offs = np.cumsum([0] + [g[0].shape[1] for g in group[:-1]])
         gval = jnp.concatenate([g[0] for g in group], 1)
         lvls = [g[1] for g in group]
-        l0, l1 = lvls[0], lvls[-1] + 1
-        off = jnp.asarray(offs, jnp.int32)[:, None]    # [glen, 1]
-        gstarts = (starts_all[:, :, l0:l1] + off).reshape(
-            bm, lq_pad, -1)
-        gw4 = w4_all[:, :, l0:l1].reshape(bm, lq_pad, -1)
-        n_samp = n_points * len(group)
-        ex = jnp.asarray(_expansion_matrix(n_samp, d))
-        return out + _level_call(gstarts, gw4, ex, gval, n_points=n_samp,
-                                 d=d, qb=qb, interpret=interpret)
+        glen = len(lvls)
+        st, w4 = level_slices(lvls)
+        if glen > 1:
+            # per-level row offsets into the concatenated map, as a lane
+            # vector in head-major (m, j, p) order
+            off_lane = np.repeat(np.tile(offs.astype(np.int32), m), P)
+            st = st + jnp.asarray(off_lane)
+        else:
+            st = st + jnp.int32(0)
+        return out + _pass_call(st, w4, gval, b=b, m=m, n_samp=P * glen,
+                                d=d, qb=qb, interpret=interpret)
 
-    ex1 = jnp.asarray(_expansion_matrix(n_points, d))
     for val4, lvl in level_data:
         rtot = val4.shape[1]
         if rtot > chunk_rows:
-            # flush first: grouped levels must stay consecutive (the group
-            # reads one contiguous [l0:l1] slice of starts/weights)
             out = flush(out, group)
             group, group_rows = [], 0
-            # band-split; a sample's aligned (8, 4D) block lives in the band
-            # holding its r0, so bands carry 8 extra rows
-            starts = starts_all[:, :, lvl]
-            w4 = w4_all[:, :, lvl]
-            cid = (starts // 8) * 8 // chunk_rows
+            st, w4 = level_slices([lvl])
+            cid = (st // 8) * 8 // chunk_rows
             for c in range(-(-rtot // chunk_rows)):
                 in_band = cid == c
-                starts_c = jnp.where(in_band, starts - c * chunk_rows, 0)
+                st_c = jnp.where(in_band, st - c * chunk_rows, 0)
                 w4_c = jnp.where(jnp.repeat(in_band, 4, axis=-1), w4, 0.0)
-                hi = min(c * chunk_rows + chunk_rows + 8, rtot)
-                band = val4[:, c * chunk_rows:hi]
-                if band.shape[1] % 8:
-                    band = jnp.pad(
-                        band, ((0, 0), (0, 8 - band.shape[1] % 8), (0, 0)))
-                out = out + _level_call(starts_c, w4_c, ex1, band,
-                                        n_points=n_points, d=d, qb=qb,
-                                        interpret=interpret)
+                hi_r = min(c * chunk_rows + chunk_rows + 8, rtot)
+                band = val4[:, c * chunk_rows:hi_r]
+                rpad = (-band.shape[1]) % 8 + 8
+                band = jnp.pad(band, ((0, 0), (0, rpad), (0, 0)))
+                out = out + _pass_call(st_c, w4_c, band, b=b, m=m,
+                                       n_samp=P, d=d, qb=qb,
+                                       interpret=interpret)
             continue
         if group_rows + rtot > chunk_rows:
             out = flush(out, group)
@@ -291,33 +458,59 @@ def _msda_pallas(value, spatial_shapes, sampling_locations,
     return jnp.moveaxis(out, 1, 2).reshape(b, lq, m * d)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4, 5))
-def ms_deform_attn_core_fast(value, spatial_shapes, sampling_locations,
-                             attention_weights, interpret=False, qb=256):
-    """Drop-in for `ms_deform_attn_core` ([B,Lq,M*D] out), Pallas forward.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4, 5, 6))
+def ms_deform_attn_core_flat(value, spatial_shapes, loc_flat, aw_flat,
+                             n_heads, interpret=False, qb=256):
+    """Flat-layout MSDA ([B,Lq,M*D] out), Pallas forward — the production
+    entry (msda_layer builds loc/aw directly in this layout, so no 6-D
+    tensor ever materializes). Lane order (level, head, point[, coord]).
 
     `interpret=True` runs the kernel in interpreter mode (CPU tests).
     Backward falls back to autodiff of the XLA formulation (inference never
     takes it)."""
-    n_points = sampling_locations.shape[4]
-    return _msda_pallas(value, tuple(spatial_shapes), sampling_locations,
-                        attention_weights, n_points=n_points,
-                        interpret=interpret, qb=qb)
+    return _msda_pallas(value, tuple(spatial_shapes), loc_flat, aw_flat,
+                        n_heads=n_heads, interpret=interpret, qb=qb)
 
 
-def _fast_fwd(value, spatial_shapes, sampling_locations, attention_weights,
-              interpret, qb):
-    out = ms_deform_attn_core_fast(value, spatial_shapes, sampling_locations,
-                                   attention_weights, interpret, qb)
-    return out, (value, sampling_locations, attention_weights)
+def _flat_to_6d(spatial_shapes, loc_flat, aw_flat, n_heads):
+    b, lq = loc_flat.shape[:2]
+    L = len(spatial_shapes)
+    P = loc_flat.shape[2] // (L * n_heads * 2)
+    loc = loc_flat.reshape(b, lq, L, n_heads, P, 2).transpose(0, 1, 3, 2, 4,
+                                                              5)
+    aw = aw_flat.reshape(b, lq, L, n_heads, P).transpose(0, 1, 3, 2, 4)
+    return loc, aw
 
 
-def _fast_bwd(spatial_shapes, interpret, qb, res, g):
-    value, sampling_locations, attention_weights = res
-    _, vjp = jax.vjp(
-        lambda v, l, a: ms_deform_attn_core(v, spatial_shapes, l, a),
-        value, sampling_locations, attention_weights)
+def _flat_fwd(value, spatial_shapes, loc_flat, aw_flat, n_heads, interpret,
+              qb):
+    out = ms_deform_attn_core_flat(value, spatial_shapes, loc_flat, aw_flat,
+                                   n_heads, interpret, qb)
+    return out, (value, loc_flat, aw_flat)
+
+
+def _flat_bwd(spatial_shapes, n_heads, interpret, qb, res, g):
+    value, loc_flat, aw_flat = res
+
+    def ref(v, lf, af):
+        loc, aw = _flat_to_6d(spatial_shapes, lf, af, n_heads)
+        return ms_deform_attn_core(v, spatial_shapes, loc, aw)
+
+    _, vjp = jax.vjp(ref, value, loc_flat, aw_flat)
     return vjp(g.astype(jnp.float32))
 
 
-ms_deform_attn_core_fast.defvjp(_fast_fwd, _fast_bwd)
+ms_deform_attn_core_flat.defvjp(_flat_fwd, _flat_bwd)
+
+
+def ms_deform_attn_core_fast(value, spatial_shapes, sampling_locations,
+                             attention_weights, interpret=False, qb=256):
+    """Drop-in for `ms_deform_attn_core` (6-D [B,Lq,M,L,P,2] inputs,
+    [B,Lq,M*D] out). Transposes to the flat lane layout once; production
+    code (msda_layer) calls ms_deform_attn_core_flat directly instead."""
+    b, lq, m = sampling_locations.shape[:3]
+    loc_flat = sampling_locations.transpose(0, 1, 3, 2, 4, 5).reshape(
+        b, lq, -1)
+    aw_flat = attention_weights.transpose(0, 1, 3, 2, 4).reshape(b, lq, -1)
+    return ms_deform_attn_core_flat(value, tuple(spatial_shapes), loc_flat,
+                                    aw_flat, m, interpret, qb)

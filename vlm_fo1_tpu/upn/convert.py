@@ -55,9 +55,18 @@ def _mlp_layers(sd, prefix, n):
     return {"layers": [_lin(sd, f"{prefix}.layers.{j}") for j in range(n)]}
 
 
-def _msda(sd, prefix):
+def _msda(sd, prefix, cfg):
+    # the offsets projection's output lanes are stored level-major in this
+    # build (reference is head-major) — permute checkpoint columns/bias
+    # (ops/msda.offsets_lane_perm)
+    from vlm_fo1_tpu.ops.msda import offsets_lane_perm
+
+    perm = offsets_lane_perm(cfg.n_heads, cfg.num_feature_levels,
+                             cfg.n_points)
+    so = _lin(sd, f"{prefix}.sampling_offsets")
+    so = {"w": so["w"][:, perm], "b": so["b"][perm]}
     return {
-        "sampling_offsets": _lin(sd, f"{prefix}.sampling_offsets"),
+        "sampling_offsets": so,
         "attention_weights": _lin(sd, f"{prefix}.attention_weights"),
         "value_proj": _lin(sd, f"{prefix}.value_proj"),
         "output_proj": _lin(sd, f"{prefix}.output_proj"),
@@ -84,7 +93,7 @@ def convert_upn(sd: dict, cfg: UPNConfig, swin_cfg: SwinConfig) -> dict:
     for i in range(cfg.num_encoder_layers):
         p = f"transformer.encoder.layers.{i}"
         enc.append({
-            "self_attn": _msda(sd, f"{p}.self_attn"),
+            "self_attn": _msda(sd, f"{p}.self_attn", cfg),
             "norm1": _ln(sd, f"{p}.norm1"),
             "linear1": _lin(sd, f"{p}.linear1"),
             "linear2": _lin(sd, f"{p}.linear2"),
@@ -95,7 +104,7 @@ def convert_upn(sd: dict, cfg: UPNConfig, swin_cfg: SwinConfig) -> dict:
     for i in range(cfg.num_decoder_layers):
         p = f"transformer.decoder.layers.{i}"
         dec.append({
-            "cross_attn": _msda(sd, f"{p}.cross_attn"),
+            "cross_attn": _msda(sd, f"{p}.cross_attn", cfg),
             "norm1": _ln(sd, f"{p}.norm1"),
             "self_attn": {
                 "in_proj": {"w": _t(sd[f"{p}.self_attn.in_proj_weight"]),
