@@ -7,7 +7,10 @@ encode -> multimodal prefill -> fixed-length greedy decode.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 The reference publishes no throughput numbers (BASELINE.md), so vs_baseline
-is null until a measured A100 reference exists.
+is null unless a measured reference exists: set BENCH_BASELINE_IMG_S to a
+reference images/sec figure (e.g. the A100 reference pipeline measured
+elsewhere) and vs_baseline is emitted as headline/reference. The BASELINE
+north star (>=3x per-chip vs A100) is checked against that same knob.
 
 Env knobs: BENCH_PRESET=3b|tiny, BENCH_DECODE_TOKENS, BENCH_ITERS,
 BENCH_MAX_PIXELS, BENCH_UPN=1|0 (UPN proposal throughput, reported as
@@ -290,11 +293,17 @@ def main():
 
     headline = (serving["img_s"]
                 if serving and "img_s" in serving else round(ips, 4))
+    # vs_baseline: the reference repo publishes no throughput (BASELINE.md),
+    # so there is nothing to divide by unless the operator supplies a
+    # measured reference figure via BENCH_BASELINE_IMG_S.
+    base_ips = os.environ.get("BENCH_BASELINE_IMG_S")
+    vs_baseline = (round(headline / float(base_ips), 3)
+                   if base_ips else None)
     print(json.dumps({
         "metric": "images_per_sec_per_chip",
         "value": headline,
         "unit": "img/s",
-        "vs_baseline": None,
+        "vs_baseline": vs_baseline,
         "single_stream_img_s": round(ips, 4),
         "p50_latency_s": round(p50, 4),
         "serving": serving,
