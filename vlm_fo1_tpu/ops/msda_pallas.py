@@ -29,16 +29,20 @@ Design:
   lanes (D = 32 for UPN's d_model 256 / 8 heads) — a single dynamic VMEM
   load per sample, fully using the vector unit's lane width.
 
-- **Group-window fast path.** Per (8-query sublane group, sample slot): if
-  all 8 sample rows fit one 16-row window (precomputed on the XLA side —
-  common in the UPN encoder, where adjacent-pixel queries sample adjacent
-  rows), ONE (16, 4D) load + an (8,16) one-hot MXU matmul selects all 8
-  rows at once; the 8 in-window offsets arrive packed 4 bits each in a
-  single SMEM word. Otherwise the slow path loads each sample's aligned
-  (8, 4D) block, dynamic-rotates the target row onto its query's sublane
-  and merges via a constant row mask. Branching is per GROUP via pl.when
-  (statement-level — a real branch; lax.cond with vector results executes
-  BOTH sides on Mosaic, measured 2x).
+- **Hierarchical group-window fast paths.** Queries are processed in
+  64-query supergroups. Per (supergroup, sample slot): if all 64 sample
+  rows fit one 128-row window (precomputed on the XLA side — the common
+  encoder case: row index = y*(W+2)+x, so adjacent row-major queries
+  sample near-consecutive rows and a 64-query run spans ~64-70 rows),
+  ONE (128, 4D) load + a (64,128) one-hot MXU matmul selects all 64 rows
+  at once; the 64 in-window deltas arrive as an int32 VMEM column.
+  Slots that miss the 128-row window fall back per 8-query sublane
+  group: a 16-row window + (8,16) one-hot matmul (deltas packed 4 bits
+  each in one SMEM word) when the 8 rows share it, else a per-sample
+  aligned (8, 4D) load + dynamic-rotate + constant-row-mask merge.
+  Branching is per (group, slot) via pl.when (statement-level — a real
+  branch; lax.cond with vector results executes BOTH sides on Mosaic,
+  measured 2x).
 
 - **Exact weights.** The per-query corner weights are expanded to the
   packed lane layout by a matmul against a constant 0/1 matrix; MXU matmuls
@@ -91,25 +95,33 @@ def _expansion_matrix(n_samp: int, d: int) -> np.ndarray:
     return ex
 
 
-def _msda_level_kernel(gb_ref, dw_ref, s0r_ref, w4_ref, ex_ref,
-                       val4_ref, out_ref, w128_ref, *, n_samp: int, d: int,
-                       qb: int):
-    # Per-head-slab blocks; index arrays are flattened to a dense
-    # [.., QB*S/128, 128] layout (element k at [k >> 7, k & 127]) — the
-    # only 128-lane-exact shape Pallas block rules accept, and free of the
-    # up-to-32x tile padding a thin [.., S<128] minor dim would cost. The
-    # per-group arrays (gb, dw) arrive replicated across each group's 8
-    # queries so all three share that layout.
-    # gb: [1, QB*S/128, 128] int32 SMEM — per (group, slot): 8-aligned base
-    #     of the 16-row fast-path window; slot 0 doubles as the group flag
-    #     (-2 skip / -1 slow / >=0 fast)
+def _msda_level_kernel(code_ref, dvm_ref, gb_ref, dw_ref, s0r_ref, w4_ref,
+                       ex_ref, val4_ref, out_ref, w128_ref, acc_ref, *,
+                       n_samp: int, d: int, qb: int):
+    # Per-head-slab blocks; the 8-query index arrays are flattened to a
+    # dense [.., QB*S/128, 128] layout (element k at [k >> 7, k & 127]) —
+    # the only 128-lane-exact shape Pallas block rules accept, and free of
+    # the up-to-32x tile padding a thin [.., S<128] minor dim would cost.
+    # The per-group arrays (gb, dw) arrive replicated across each group's
+    # 8 queries so all three share that layout.
+    # code: [1, 8, 128] int32 SMEM — row j%8 (j = query-block program id;
+    #     blocks of 8 query-blocks share one fetch since a (1,1,128) SMEM
+    #     block violates Mosaic's 8-row rule): per (64-query supergroup g,
+    #     slot s) at lane g*S+s: -2 skip (no nonzero weight in the slot) /
+    #     -1 use the per-8 paths / >=0 the 8-aligned base of the 128-row
+    #     window
+    # dvm: [1, QB, S] int32 VMEM — per (query, slot) in-window delta for
+    #     the supergroup fast path
+    # gb: [1, QB*S/128, 128] int32 SMEM — per (8-group, slot): 8-aligned
+    #     base of the 16-row fast-path window, or -1 -> per-sample path
     # dw: [1, QB*S/128, 128] int32 SMEM — the 8 queries' in-window offsets,
-    #     packed 4 bits each (fast path)
+    #     packed 4 bits each (8-query fast path)
     # s0r: [1, QB*S/128, 128] int32 SMEM — per sample, (8-aligned row base)
     #     + (the circular shift landing the row on its query's sublane)
     # w4: [1, QB, 4S] f32 (lane order slot-major: s*4 + corner)
     # ex: [4S, S*4D] bf16   val4: [1, R, 4D]
-    # out: [1, QB, D] f32   w128 scratch: [QB, S*4D] f32
+    # out: [1, QB, D] f32
+    # w128 scratch: [QB, S*4D] f32   acc scratch: [64, 4D] f32
     w4v = w4_ref[0]
     hi = w4v.astype(jnp.bfloat16)
     mid = (w4v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -124,6 +136,7 @@ def _msda_level_kernel(gb_ref, dw_ref, s0r_ref, w4_ref, ex_ref,
                    + jnp.dot(lo, exv, preferred_element_type=jnp.float32))
     vdt = val4_ref.dtype
     iota16 = jax.lax.broadcasted_iota(jnp.int32, (8, 16), 1)
+    iota128 = jax.lax.broadcasted_iota(jnp.int32, (64, 128), 1)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
     shifts = row_ids * 4
 
@@ -134,55 +147,70 @@ def _msda_level_kernel(gb_ref, dw_ref, s0r_ref, w4_ref, ex_ref,
     def idx(ref, k):
         return ref[0, k >> 7, k & 127]
 
-    def body(q8, _):
-        q0 = pl.multiple_of(q8 * 8, 8)
-        g0 = q0 * n_samp
-        flag = idx(gb_ref, g0)
+    jrow = jax.lax.rem(pl.program_id(1), 8)
 
-        @pl.when(flag == -2)
-        def _skip():
-            out_ref[0, pl.ds(q0, 8), :] = jnp.zeros((8, d), jnp.float32)
+    def body(g64, _):
+        q0 = pl.multiple_of(g64 * 64, 64)
+        acc_ref[...] = jnp.zeros((64, 4 * d), jnp.float32)
+        dmat = dvm_ref[0, pl.ds(q0, 64), :]            # (64, S) i32
+        for s in range(n_samp):
+            code = code_ref[0, jrow, g64 * n_samp + s]
 
-        @pl.when(flag >= 0)
-        def _fast():
-            acc = jnp.zeros((8, 4 * d), jnp.float32)
-            for s in range(n_samp):
-                base = pl.multiple_of(idx(gb_ref, g0 + s), 8)
-                word = idx(dw_ref, g0 + s)
-                delta8 = jnp.right_shift(
-                    jnp.full((8, 1), word, jnp.int32), shifts) & 15
-                blk = val4_ref[0, pl.ds(base, 16), :]      # (16, 4D)
-                sel = jnp.dot((iota16 == delta8).astype(vdt), blk,
-                              preferred_element_type=jnp.float32)
-                acc = acc + sel * w128_ref[pl.ds(q0, 8),
+            @pl.when(code >= 0)
+            def _fast64():
+                base = pl.multiple_of(code, 8)
+                delta = jax.lax.slice(dmat, (0, s), (64, s + 1))  # (64, 1)
+                oh = (iota128 == delta).astype(vdt)
+                blk = val4_ref[0, pl.ds(base, 128), :]            # (128, 4D)
+                sel = jnp.dot(oh, blk, preferred_element_type=jnp.float32)
+                acc_ref[...] += sel * w128_ref[pl.ds(q0, 64),
+                                               s * 4 * d:(s + 1) * 4 * d]
+
+            @pl.when(code == -1)
+            def _per8():
+                for sub in range(8):
+                    q8 = q0 + sub * 8
+                    e = q8 * n_samp + s
+                    b8 = idx(gb_ref, e)
+
+                    @pl.when(b8 >= 0)
+                    def _fast8():
+                        base = pl.multiple_of(b8, 8)
+                        word = idx(dw_ref, e)
+                        delta8 = jnp.right_shift(
+                            jnp.full((8, 1), word, jnp.int32), shifts) & 15
+                        blk = val4_ref[0, pl.ds(base, 16), :]     # (16, 4D)
+                        sel = jnp.dot((iota16 == delta8).astype(vdt), blk,
+                                      preferred_element_type=jnp.float32)
+                        acc_ref[pl.ds(sub * 8, 8), :] += \
+                            sel * w128_ref[pl.ds(q8, 8),
                                            s * 4 * d:(s + 1) * 4 * d]
-            out_ref[0, pl.ds(q0, 8), :] = _fold(acc)
 
-        @pl.when(flag == -1)
-        def _slow():
-            acc = jnp.zeros((8, 4 * d), jnp.float32)
-            for s in range(n_samp):
-                m = jnp.zeros((8, 4 * d), jnp.float32)
-                for i in range(8):
-                    packed = idx(s0r_ref, (q0 + i) * n_samp + s)
-                    rb = pl.multiple_of(packed & -8, 8)
-                    blk = val4_ref[0, pl.ds(rb, 8), :]     # (8, 4D)
-                    # tpu.dynamic_rotate is 32-bit only -> rotate in f32
-                    rot = pltpu.roll(blk.astype(jnp.float32), packed & 7, 0)
-                    m = jnp.where(row_ids == i, rot, m)
-                acc = acc + m * w128_ref[pl.ds(q0, 8),
+                    @pl.when(b8 < 0)
+                    def _slow8():
+                        m = jnp.zeros((8, 4 * d), jnp.float32)
+                        for i in range(8):
+                            packed = idx(s0r_ref, (q8 + i) * n_samp + s)
+                            rb = pl.multiple_of(packed & -8, 8)
+                            blk = val4_ref[0, pl.ds(rb, 8), :]    # (8, 4D)
+                            # tpu.dynamic_rotate is 32-bit only -> f32
+                            rot = pltpu.roll(blk.astype(jnp.float32),
+                                             packed & 7, 0)
+                            m = jnp.where(row_ids == i, rot, m)
+                        acc_ref[pl.ds(sub * 8, 8), :] += \
+                            m * w128_ref[pl.ds(q8, 8),
                                          s * 4 * d:(s + 1) * 4 * d]
-            out_ref[0, pl.ds(q0, 8), :] = _fold(acc)
 
+        out_ref[0, pl.ds(q0, 64), :] = _fold(acc_ref[...])
         return 0
 
-    jax.lax.fori_loop(0, qb // 8, body, 0)
+    jax.lax.fori_loop(0, qb // 64, body, 0)
 
 
 def _quad_pack(val_level: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     """[BM, H*W, D] -> padded quad-packed [BM, R, 4D] with R a multiple of 8
-    PLUS 8 slack rows (the fast path's 16-row window may extend one block
-    past the last sample's aligned base)."""
+    PLUS 128 slack rows (the supergroup fast path's 128-row window may
+    extend up to 15 aligned blocks past the last sample's aligned base)."""
     bm, _, dd = val_level.shape
     vp = jnp.pad(val_level.reshape(bm, h, w, dd),
                  ((0, 0), (1, 1), (1, 1), (0, 0)))
@@ -192,7 +220,7 @@ def _quad_pack(val_level: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     rw = jnp.roll(flat, -wp, axis=1)
     rw1 = jnp.roll(flat, -(wp + 1), axis=1)
     packed = jnp.concatenate([flat, r1, rw, rw1], axis=-1)
-    rpad = -(-packed.shape[1] // 8) * 8 - packed.shape[1] + 8
+    rpad = -(-packed.shape[1] // 8) * 8 - packed.shape[1] + 128
     return jnp.pad(packed, ((0, 0), (0, rpad), (0, 0)))
 
 
@@ -201,11 +229,17 @@ def _group_meta(starts_p, w4_p, b, m, lq_pad, n_samp):
 
     starts_p [B, Lqp, M*S], w4_p [B, Lqp, M*4S] ->
       s0r  [B, Lqp, M*S]   packed (aligned base) + (rotate amount)
-      gb   [B, nq8, M*S]   fast-path window base
-      dw   [B, nq8, M*S]   packed 4-bit deltas
-      gflag [B, nq8, M]    0 skip / 1 slow / 2 fast
+      gb   [B, Lqp, M*S]   per (8-group, slot) 16-row window base or -1,
+                           replicated across the group's 8 queries
+      dw   [B, Lqp, M*S]   packed 4-bit deltas (8-query fast path)
+      code [B, nq64, M*S]  per (64-query supergroup, slot): -2 skip /
+                           -1 per-8 paths / >=0 128-row window base
+      dvm  [B, Lqp, M*S]   per (query, slot) supergroup-window delta
     """
+    import os
+
     nq8 = lq_pad // 8
+    nq64 = lq_pad // 64
     s0 = (starts_p // 8) * 8
     qmod8 = (jnp.arange(lq_pad, dtype=jnp.int32) % 8)[None, :, None]
     s0r = s0 + (qmod8 - (starts_p - s0)) % 8
@@ -214,27 +248,37 @@ def _group_meta(starts_p, w4_p, b, m, lq_pad, n_samp):
     gmin = sg.min(axis=2)
     gmax = sg.max(axis=2)                       # [B, nq8, M, S]
     gb = (gmin // 8) * 8
-    all_fast = ((gmax - gb) < 16).all(axis=-1)  # [B, nq8, M]
-    import os
-    if os.environ.get("VLM_FO1_MSDA_FORCE") == "slow":  # debug knob
-        all_fast = jnp.zeros_like(all_fast)
+    fast8 = (gmax - gb) < 16                    # [B, nq8, M, S]
     delta = jnp.clip(sg - gb[:, :, None], 0, 15)
     dw = (delta << (4 * jnp.arange(8, dtype=jnp.int32)
                     )[None, None, :, None, None]).sum(axis=2)
-    wg = (w4_p != 0).reshape(b, nq8, 8, m, 4 * n_samp)
-    occ = wg.any(axis=(2, 4))                   # [B, nq8, M]
-    # encode the group flag in gb slot 0 (-2 skip / -1 slow / >=0 fast):
-    # a separate per-group flag array would need a block shape Pallas
-    # rejects (minor dim < 128 and not the whole array)
-    flag0 = jnp.where(occ, jnp.where(all_fast, gb[..., 0], -1), -2)
-    gb = gb.at[..., 0].set(flag0)
+
+    # 64-query supergroup windows
+    sg64 = starts_p.reshape(b, nq64, 64, m, n_samp)
+    g64min = sg64.min(axis=2)
+    g64max = sg64.max(axis=2)                   # [B, nq64, M, S]
+    base64 = (g64min // 8) * 8
+    fast64 = (g64max - base64) < 128
+    wg = (w4_p != 0).reshape(b, nq64, 64, m, 4 * n_samp)
+    occ64 = wg.any(axis=2).reshape(b, nq64, m, n_samp, 4).any(-1)
+    force = os.environ.get("VLM_FO1_MSDA_FORCE")  # debug/test knob
+    if force in ("slow", "fast8"):
+        fast64 = jnp.zeros_like(fast64)
+    if force == "slow":
+        fast8 = jnp.zeros_like(fast8)
+    code = jnp.where(occ64, jnp.where(fast64, base64, -1), -2)
+    dvm = jnp.clip(
+        starts_p - jnp.broadcast_to(
+            base64[:, :, None], (b, nq64, 64, m, n_samp)
+        ).reshape(b, lq_pad, m * n_samp), 0, 127)
+    gb = jnp.where(fast8, gb, -1)
 
     def rep8(x):  # replicate group values across their 8 queries so gb/dw
         # share s0r's dense [.., Lqp*S/128, 128] layout
         return jnp.broadcast_to(x[:, :, None], (b, nq8, 8, m, n_samp)
                                 ).reshape(b, lq_pad, m * n_samp)
 
-    return s0r, rep8(gb), rep8(dw)
+    return s0r, rep8(gb), rep8(dw), code.reshape(b, nq64, m * n_samp), dvm
 
 
 def _to_slab2(x, m, last):
@@ -261,10 +305,14 @@ def _pass_call(starts_p, w4_p, val4, *, b, m, n_samp, d, qb, interpret):
     assert (qb * n_samp) % 1024 == 0, (
         "qb*n_samp must be a multiple of 1024 so the dense [.., 128] index "
         f"blocks have 8-divisible rows (qb={qb}, n_samp={n_samp})")
-    s0r, gb, dw = _group_meta(starts_p, w4_p, b, m, lq_pad, n_samp)
+    assert qb % 64 == 0 and (qb // 64) * n_samp <= 128, (
+        "per-block supergroup codes must fit one 128-lane SMEM row "
+        f"(qb={qb}, n_samp={n_samp})")
+    s0r, gb, dw, code, dvm = _group_meta(starts_p, w4_p, b, m, lq_pad,
+                                         n_samp)
     # per-head slabs: index arrays flatten to the dense [BM, Lqp*S/128,
-    # 128] layout (see kernel doc); w4 keeps a thin [BM, Lqp, 4S] minor
-    # (tile-padded but small)
+    # 128] layout (see kernel doc); w4/dvm keep thin [BM, Lqp, (4)S]
+    # minors (tile-padded but small)
     rows = lq_pad * n_samp // 128
 
     def dense128(x):
@@ -273,6 +321,13 @@ def _pass_call(starts_p, w4_p, val4, *, b, m, n_samp, d, qb, interpret):
     s0r = dense128(s0r)
     gb = dense128(gb)
     dw = dense128(dw)
+    gcodes = (qb // 64) * n_samp
+    code = _to_slab3(code, m, n_samp).reshape(b * m, nqb, gcodes)
+    # pad lanes to 128 and rows to a multiple of 8 (Mosaic SMEM block
+    # rules); padded rows carry -2 = skip, though no program reads them
+    code = jnp.pad(code, ((0, 0), (0, (-nqb) % 8), (0, 128 - gcodes)),
+                   constant_values=-2)
+    dvm = _to_slab3(dvm, m, n_samp)
     w4s = _to_slab3(w4_p, m, 4 * n_samp)
     ex = jnp.asarray(_expansion_matrix(n_samp, d), jnp.bfloat16)
     brows = qb * n_samp // 128
@@ -280,6 +335,10 @@ def _pass_call(starts_p, w4_p, val4, *, b, m, n_samp, d, qb, interpret):
         functools.partial(_msda_level_kernel, n_samp=n_samp, d=d, qb=qb),
         grid=(b * m, nqb),
         in_specs=[
+            pl.BlockSpec((1, 8, 128), lambda i, j: (i, j // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, qb, n_samp), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, brows, 128), lambda i, j: (i, j, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, brows, 128), lambda i, j: (i, j, 0),
@@ -296,9 +355,10 @@ def _pass_call(starts_p, w4_p, val4, *, b, m, n_samp, d, qb, interpret):
         out_specs=pl.BlockSpec((1, qb, d), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * m, lq_pad, d), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((qb, n_samp * 4 * d), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((qb, n_samp * 4 * d), jnp.float32),
+                        pltpu.VMEM((64, 4 * d), jnp.float32)],
         interpret=interpret,
-    )(gb, dw, s0r, w4s, ex, val4)
+    )(code, dvm, gb, dw, s0r, w4s, ex, val4)
 
 
 def _lane_perm(m, glen, n_points, per=1):
@@ -439,9 +499,9 @@ def _msda_pallas(value, spatial_shapes, loc_flat, aw_flat, *, n_heads,
                 in_band = cid == c
                 st_c = jnp.where(in_band, st - c * chunk_rows, 0)
                 w4_c = jnp.where(jnp.repeat(in_band, 4, axis=-1), w4, 0.0)
-                hi_r = min(c * chunk_rows + chunk_rows + 8, rtot)
+                hi_r = min(c * chunk_rows + chunk_rows + 128, rtot)
                 band = val4[:, c * chunk_rows:hi_r]
-                rpad = (-band.shape[1]) % 8 + 8
+                rpad = (-band.shape[1]) % 8 + 128
                 band = jnp.pad(band, ((0, 0), (0, rpad), (0, 0)))
                 out = out + _pass_call(st_c, w4_c, band, b=b, m=m,
                                        n_samp=P, d=d, qb=qb,
