@@ -62,10 +62,13 @@ def main():
     w.params = jax.device_put(w.params, jax.devices()[0])
     jax.block_until_ready(w.params)
 
-    arr, (nh, nw) = w.transform_image(img)
+    from vlm_fo1_tpu.upn.wrapper import IMAGENET_MEAN, IMAGENET_STD
+
+    arr, (nh, nw) = w.transform_image(img)   # raw uint8
     padded = w._pad_to_bucket(arr)
     print(f"input {nh}x{nw} -> bucket {padded.shape[:2]}")
-    image = jnp.asarray(padded[None]).astype(jnp.bfloat16)
+    norm = (padded.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    image = jnp.asarray(norm[None]).astype(jnp.bfloat16)
     valid_hw = jnp.asarray([[nh, nw]], np.int32)
 
     @partial(jax.jit, static_argnames=("ne", "nd"))

@@ -35,14 +35,20 @@ Design:
   encoder case: row index = y*(W+2)+x, so adjacent row-major queries
   sample near-consecutive rows and a 64-query run spans ~64-70 rows),
   ONE (128, 4D) load + a (64,128) one-hot MXU matmul selects all 64 rows
-  at once; the 64 in-window deltas arrive as an int32 VMEM column.
-  Slots that miss the 128-row window fall back per 8-query sublane
-  group: a 16-row window + (8,16) one-hot matmul (deltas packed 4 bits
+  at once; the 64 in-window deltas arrive as an int32 VMEM column. The
+  supergroup loop over slots is STRAIGHT-LINE with register accumulation:
+  slots that miss the window carry delta -1 (an all-zero one-hot), so
+  their matmul contributes exactly zero and no branch sits between MXU
+  issues — a first cut that branched per (group, slot) and accumulated
+  through a VMEM scratch measured ~4x slower than the matmul cost, all
+  per-slot overhead. Missed slots are then patched in per 8-query
+  sublane group behind a pl.when (statement-level — a real branch;
+  lax.cond with vector results executes BOTH sides on Mosaic, measured
+  2x): a 16-row window + (8,16) one-hot matmul (deltas packed 4 bits
   each in one SMEM word) when the 8 rows share it, else a per-sample
   aligned (8, 4D) load + dynamic-rotate + constant-row-mask merge.
-  Branching is per (group, slot) via pl.when (statement-level — a real
-  branch; lax.cond with vector results executes BOTH sides on Mosaic,
-  measured 2x).
+  Supergroups with no occupied slot (out-of-band in a chunked pass) skip
+  everything and write zeros.
 
 - **Exact weights.** The per-query corner weights are expanded to the
   packed lane layout by a matmul against a constant 0/1 matrix; MXU matmuls
@@ -97,7 +103,7 @@ def _expansion_matrix(n_samp: int, d: int) -> np.ndarray:
 
 def _msda_level_kernel(code_ref, dvm_ref, gb_ref, dw_ref, s0r_ref, w4_ref,
                        ex_ref, val4_ref, out_ref, w128_ref, acc_ref, *,
-                       n_samp: int, d: int, qb: int):
+                       n_samp: int, d: int, qb: int, xp=None):
     # Per-head-slab blocks; the 8-query index arrays are flattened to a
     # dense [.., QB*S/128, 128] layout (element k at [k >> 7, k & 127]) —
     # the only 128-lane-exact shape Pallas block rules accept, and free of
@@ -151,57 +157,93 @@ def _msda_level_kernel(code_ref, dvm_ref, gb_ref, dw_ref, s0r_ref, w4_ref,
 
     def body(g64, _):
         q0 = pl.multiple_of(g64 * 64, 64)
-        acc_ref[...] = jnp.zeros((64, 4 * d), jnp.float32)
-        dmat = dvm_ref[0, pl.ds(q0, 64), :]            # (64, S) i32
-        for s in range(n_samp):
-            code = code_ref[0, jrow, g64 * n_samp + s]
+        codes = [code_ref[0, jrow, g64 * n_samp + s] for s in range(n_samp)]
+        act = codes[0]
+        for s in range(1, n_samp):
+            act = jnp.maximum(act, codes[s])  # all -2 -> nothing occupied
 
-            @pl.when(code >= 0)
-            def _fast64():
-                base = pl.multiple_of(code, 8)
+        @pl.when(act == -2)
+        def _skip():
+            out_ref[0, pl.ds(q0, 64), :] = jnp.zeros((64, d), jnp.float32)
+
+        @pl.when(act > -2)
+        def _active():
+            any_miss = codes[0] == -1
+            for s in range(1, n_samp):
+                any_miss = jnp.logical_or(any_miss, codes[s] == -1)
+
+            @pl.when(any_miss)
+            def _zero():
+                acc_ref[...] = jnp.zeros((64, 4 * d), jnp.float32)
+
+            dmat = dvm_ref[0, pl.ds(q0, 64), :]        # (64, S) i32
+            acc = jnp.zeros((64, 4 * d), jnp.float32)
+            for s in range(n_samp):
+                # straight-line: missed slots carry delta -1 -> zero
+                # one-hot -> exact zero contribution; base clamps to 0
+                base = pl.multiple_of(jnp.maximum(codes[s], 0), 8)
+                if xp == "staticbase":  # perf experiment knobs (wrong
+                    base = 0            # results; see bench_msda_kernel)
                 delta = jax.lax.slice(dmat, (0, s), (64, s + 1))  # (64, 1)
-                oh = (iota128 == delta).astype(vdt)
+                if xp == "noonehot":
+                    oh = iota128.astype(vdt)
+                else:
+                    oh = (iota128 == delta).astype(vdt)
                 blk = val4_ref[0, pl.ds(base, 128), :]            # (128, 4D)
                 sel = jnp.dot(oh, blk, preferred_element_type=jnp.float32)
-                acc_ref[...] += sel * w128_ref[pl.ds(q0, 64),
+                if xp == "noweight":
+                    acc = acc + sel
+                else:
+                    acc = acc + sel * w128_ref[pl.ds(q0, 64),
                                                s * 4 * d:(s + 1) * 4 * d]
 
-            @pl.when(code == -1)
-            def _per8():
-                for sub in range(8):
-                    q8 = q0 + sub * 8
-                    e = q8 * n_samp + s
-                    b8 = idx(gb_ref, e)
+            for s in range(n_samp):
+                @pl.when(codes[s] == -1)
+                def _per8():
+                    for sub in range(8):
+                        q8 = q0 + sub * 8
+                        e = q8 * n_samp + s
+                        b8 = idx(gb_ref, e)
 
-                    @pl.when(b8 >= 0)
-                    def _fast8():
-                        base = pl.multiple_of(b8, 8)
-                        word = idx(dw_ref, e)
-                        delta8 = jnp.right_shift(
-                            jnp.full((8, 1), word, jnp.int32), shifts) & 15
-                        blk = val4_ref[0, pl.ds(base, 16), :]     # (16, 4D)
-                        sel = jnp.dot((iota16 == delta8).astype(vdt), blk,
-                                      preferred_element_type=jnp.float32)
-                        acc_ref[pl.ds(sub * 8, 8), :] += \
-                            sel * w128_ref[pl.ds(q8, 8),
-                                           s * 4 * d:(s + 1) * 4 * d]
+                        @pl.when(b8 >= 0)
+                        def _fast8():
+                            base = pl.multiple_of(b8, 8)
+                            word = idx(dw_ref, e)
+                            delta8 = jnp.right_shift(
+                                jnp.full((8, 1), word, jnp.int32),
+                                shifts) & 15
+                            blk = val4_ref[0, pl.ds(base, 16), :]  # (16,4D)
+                            sel = jnp.dot(
+                                (iota16 == delta8).astype(vdt), blk,
+                                preferred_element_type=jnp.float32)
+                            acc_ref[pl.ds(sub * 8, 8), :] += \
+                                sel * w128_ref[pl.ds(q8, 8),
+                                               s * 4 * d:(s + 1) * 4 * d]
 
-                    @pl.when(b8 < 0)
-                    def _slow8():
-                        m = jnp.zeros((8, 4 * d), jnp.float32)
-                        for i in range(8):
-                            packed = idx(s0r_ref, (q8 + i) * n_samp + s)
-                            rb = pl.multiple_of(packed & -8, 8)
-                            blk = val4_ref[0, pl.ds(rb, 8), :]    # (8, 4D)
-                            # tpu.dynamic_rotate is 32-bit only -> f32
-                            rot = pltpu.roll(blk.astype(jnp.float32),
-                                             packed & 7, 0)
-                            m = jnp.where(row_ids == i, rot, m)
-                        acc_ref[pl.ds(sub * 8, 8), :] += \
-                            m * w128_ref[pl.ds(q8, 8),
-                                         s * 4 * d:(s + 1) * 4 * d]
+                        @pl.when(b8 < 0)
+                        def _slow8():
+                            m = jnp.zeros((8, 4 * d), jnp.float32)
+                            for i in range(8):
+                                packed = idx(s0r_ref,
+                                             (q8 + i) * n_samp + s)
+                                rb = pl.multiple_of(packed & -8, 8)
+                                blk = val4_ref[0, pl.ds(rb, 8), :]  # (8,4D)
+                                # tpu.dynamic_rotate is 32-bit only -> f32
+                                rot = pltpu.roll(blk.astype(jnp.float32),
+                                                 packed & 7, 0)
+                                m = jnp.where(row_ids == i, rot, m)
+                            acc_ref[pl.ds(sub * 8, 8), :] += \
+                                m * w128_ref[pl.ds(q8, 8),
+                                             s * 4 * d:(s + 1) * 4 * d]
 
-        out_ref[0, pl.ds(q0, 64), :] = _fold(acc_ref[...])
+            @pl.when(any_miss)
+            def _merge():
+                out_ref[0, pl.ds(q0, 64), :] = _fold(acc + acc_ref[...])
+
+            @pl.when(jnp.logical_not(any_miss))
+            def _direct():
+                out_ref[0, pl.ds(q0, 64), :] = _fold(acc)
+
         return 0
 
     jax.lax.fori_loop(0, qb // 64, body, 0)
@@ -224,7 +266,7 @@ def _quad_pack(val_level: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     return jnp.pad(packed, ((0, 0), (0, rpad), (0, 0)))
 
 
-def _group_meta(starts_p, w4_p, b, m, lq_pad, n_samp):
+def _group_meta(starts_p, w4_p, b, m, lq_pad, n_samp, force=None):
     """Per-(group, head) kernel metadata from pass-local sample rows.
 
     starts_p [B, Lqp, M*S], w4_p [B, Lqp, M*4S] ->
@@ -234,10 +276,12 @@ def _group_meta(starts_p, w4_p, b, m, lq_pad, n_samp):
       dw   [B, Lqp, M*S]   packed 4-bit deltas (8-query fast path)
       code [B, nq64, M*S]  per (64-query supergroup, slot): -2 skip /
                            -1 per-8 paths / >=0 128-row window base
-      dvm  [B, Lqp, M*S]   per (query, slot) supergroup-window delta
-    """
-    import os
+      dvm  [B, Lqp, M*S]   per (query, slot) supergroup-window delta,
+                           -1 (all-zero one-hot) where the slot missed
 
+    `force` ("fast8" / "slow") disables the wider fast paths — a debug /
+    microbench knob threaded from ms_deform_attn_core_flat's env read.
+    """
     nq8 = lq_pad // 8
     nq64 = lq_pad // 64
     s0 = (starts_p // 8) * 8
@@ -261,16 +305,20 @@ def _group_meta(starts_p, w4_p, b, m, lq_pad, n_samp):
     fast64 = (g64max - base64) < 128
     wg = (w4_p != 0).reshape(b, nq64, 64, m, 4 * n_samp)
     occ64 = wg.any(axis=2).reshape(b, nq64, m, n_samp, 4).any(-1)
-    force = os.environ.get("VLM_FO1_MSDA_FORCE")  # debug/test knob
     if force in ("slow", "fast8"):
         fast64 = jnp.zeros_like(fast64)
     if force == "slow":
         fast8 = jnp.zeros_like(fast8)
     code = jnp.where(occ64, jnp.where(fast64, base64, -1), -2)
-    dvm = jnp.clip(
-        starts_p - jnp.broadcast_to(
+    rep64 = jnp.broadcast_to(fast64[:, :, None],
+                             (b, nq64, 64, m, n_samp)
+                             ).reshape(b, lq_pad, m * n_samp)
+    dvm = jnp.where(
+        rep64,
+        jnp.clip(starts_p - jnp.broadcast_to(
             base64[:, :, None], (b, nq64, 64, m, n_samp)
-        ).reshape(b, lq_pad, m * n_samp), 0, 127)
+        ).reshape(b, lq_pad, m * n_samp), 0, 127),
+        -1)
     gb = jnp.where(fast8, gb, -1)
 
     def rep8(x):  # replicate group values across their 8 queries so gb/dw
@@ -295,7 +343,8 @@ def _to_slab3(x, m, last):
         b * m, rows, last)
 
 
-def _pass_call(starts_p, w4_p, val4, *, b, m, n_samp, d, qb, interpret):
+def _pass_call(starts_p, w4_p, val4, *, b, m, n_samp, d, qb, interpret,
+               force=None, xp=None):
     """One pallas_call over one (level-group or row-band) pass.
     starts_p [B, Lqp, M*S] (pass-local rows), w4_p [B, Lqp, M*4S] (zeroed
     outside the band), val4 [BM, Rband, 4D]. Returns [BM, Lqp, D] f32."""
@@ -309,7 +358,7 @@ def _pass_call(starts_p, w4_p, val4, *, b, m, n_samp, d, qb, interpret):
         "per-block supergroup codes must fit one 128-lane SMEM row "
         f"(qb={qb}, n_samp={n_samp})")
     s0r, gb, dw, code, dvm = _group_meta(starts_p, w4_p, b, m, lq_pad,
-                                         n_samp)
+                                         n_samp, force)
     # per-head slabs: index arrays flatten to the dense [BM, Lqp*S/128,
     # 128] layout (see kernel doc); w4/dvm keep thin [BM, Lqp, (4)S]
     # minors (tile-padded but small)
@@ -332,7 +381,8 @@ def _pass_call(starts_p, w4_p, val4, *, b, m, n_samp, d, qb, interpret):
     ex = jnp.asarray(_expansion_matrix(n_samp, d), jnp.bfloat16)
     brows = qb * n_samp // 128
     return pl.pallas_call(
-        functools.partial(_msda_level_kernel, n_samp=n_samp, d=d, qb=qb),
+        functools.partial(_msda_level_kernel, n_samp=n_samp, d=d, qb=qb,
+                          xp=xp),
         grid=(b * m, nqb),
         in_specs=[
             pl.BlockSpec((1, 8, 128), lambda i, j: (i, j // 8, 0),
@@ -379,9 +429,10 @@ def _corner_perm(m, glen, n_points):
 @functools.partial(
     jax.jit,
     static_argnames=("spatial_shapes", "n_heads", "interpret", "qb",
-                     "chunk_rows"))
+                     "chunk_rows", "force", "xp"))
 def _msda_pallas(value, spatial_shapes, loc_flat, aw_flat, *, n_heads,
-                 interpret=False, qb=256, chunk_rows=None):
+                 interpret=False, qb=256, chunk_rows=None, force=None,
+                 xp=None):
     """Flat-layout MSDA core. loc_flat [B, Lq, L*M*P*2] and aw_flat
     [B, Lq, L*M*P] use lane order (level, head, point[, coord]) — level
     slices are contiguous; see module doc. Returns [B, Lq, M*D] f32."""
@@ -486,7 +537,8 @@ def _msda_pallas(value, spatial_shapes, loc_flat, aw_flat, *, n_heads,
         else:
             st = st + jnp.int32(0)
         return out + _pass_call(st, w4, gval, b=b, m=m, n_samp=P * glen,
-                                d=d, qb=qb, interpret=interpret)
+                                d=d, qb=qb, interpret=interpret,
+                                force=force, xp=xp)
 
     for val4, lvl in level_data:
         rtot = val4.shape[1]
@@ -505,7 +557,8 @@ def _msda_pallas(value, spatial_shapes, loc_flat, aw_flat, *, n_heads,
                 band = jnp.pad(band, ((0, 0), (0, rpad), (0, 0)))
                 out = out + _pass_call(st_c, w4_c, band, b=b, m=m,
                                        n_samp=P, d=d, qb=qb,
-                                       interpret=interpret)
+                                       interpret=interpret, force=force,
+                                       xp=xp)
             continue
         if group_rows + rtot > chunk_rows:
             out = flush(out, group)
@@ -528,8 +581,11 @@ def ms_deform_attn_core_flat(value, spatial_shapes, loc_flat, aw_flat,
     `interpret=True` runs the kernel in interpreter mode (CPU tests).
     Backward falls back to autodiff of the XLA formulation (inference never
     takes it)."""
+    import os
+
     return _msda_pallas(value, tuple(spatial_shapes), loc_flat, aw_flat,
-                        n_heads=n_heads, interpret=interpret, qb=qb)
+                        n_heads=n_heads, interpret=interpret, qb=qb,
+                        force=os.environ.get("VLM_FO1_MSDA_FORCE"))
 
 
 def _flat_to_6d(spatial_shapes, loc_flat, aw_flat, n_heads):

@@ -29,12 +29,37 @@ BUCKET = 128
 
 
 @partial(jax.jit, static_argnames=("cfg", "swin_cfg", "prompt"))
-def _jit_forward(params, cfg, swin_cfg, image, valid_hw, prompt):
-    # match the model's compute dtype (bf16 serving): image arrives fp32
+def _jit_forward(params, cfg, swin_cfg, image, valid_hw, prompt,
+                 orig_wh=None):
+    """image arrives as RAW uint8 pixels (2.75MB/image over the tunneled
+    link instead of 11MB fp32); ImageNet-normalize on device and cast to
+    the model's compute dtype. When `orig_wh` [B, 2] f32 is given, the
+    host postprocess (sigmoid + cxcywh->xyxy original-pixel scaling +
+    score sort, reference inference_wrapper.py:136-184) is fused in too —
+    one dispatch, one small [B, nq, 5] pull instead of two dispatches and
+    a host sort."""
     dts = {jnp.dtype(l.dtype) for l in jax.tree.leaves(params)}
-    if jnp.dtype(jnp.bfloat16) in dts:
-        image = image.astype(jnp.bfloat16)
-    return upn_forward(params, cfg, swin_cfg, image, valid_hw, prompt)
+    cdt = (jnp.bfloat16 if jnp.dtype(jnp.bfloat16) in dts else jnp.float32)
+    if image.dtype == jnp.uint8:
+        mean = jnp.asarray(IMAGENET_MEAN * 255.0)
+        std = jnp.asarray(IMAGENET_STD * 255.0)
+        image = ((image.astype(jnp.float32) - mean) / std).astype(cdt)
+    else:  # pre-normalized fp32 (parity tests)
+        image = image.astype(cdt)
+    out = upn_forward(params, cfg, swin_cfg, image, valid_hw, prompt)
+    if orig_wh is not None:
+        boxes = out["pred_boxes"].astype(jnp.float32)      # cxcywh [0,1]
+        scores = jax.nn.sigmoid(out["pred_logits"].astype(jnp.float32))
+        wh = orig_wh[:, None]                              # [B, 1, 2]
+        half = boxes[..., 2:4] / 2
+        xyxy = jnp.concatenate([(boxes[..., 0:2] - half) * wh,
+                                (boxes[..., 0:2] + half) * wh], -1)
+        order = jnp.argsort(-scores[..., 0], axis=-1, stable=True)
+        out = dict(out)
+        out["xyxy_sorted"] = jnp.take_along_axis(xyxy, order[..., None], 1)
+        out["scores_sorted"] = jnp.take_along_axis(scores,
+                                                   order[..., None], 1)
+    return out
 
 
 class UPNWrapper:
@@ -72,23 +97,23 @@ class UPNWrapper:
 
     def transform_image(self, image_pil: Image.Image,
                         short_side: int = 800, max_size: int = 1333):
-        """Shortest-edge resize capped at max_size + ImageNet normalize.
-        Returns ([H, W, 3] float32, (H, W))."""
+        """Shortest-edge resize capped at max_size. Returns raw uint8
+        pixels ([H, W, 3], (H, W)) — ImageNet normalization happens on
+        DEVICE inside _jit_forward, so the tunneled host->device transfer
+        ships 1/4 the bytes of a pre-normalized fp32 image."""
         w, h = image_pil.size
         scale = short_side / min(h, w)
         if max(h, w) * scale > max_size:
             scale = max_size / max(h, w)
         nh, nw = int(round(h * scale)), int(round(w * scale))
         img = image_pil.resize((nw, nh), Image.Resampling.BILINEAR)
-        arr = (np.asarray(img, np.uint8).astype(np.float32) / 255.0
-               - IMAGENET_MEAN) / IMAGENET_STD
-        return arr, (nh, nw)
+        return np.asarray(img, np.uint8), (nh, nw)
 
     def _pad_to_bucket(self, arr: np.ndarray):
         h, w, _ = arr.shape
         ph = -(-h // BUCKET) * BUCKET
         pw = -(-w // BUCKET) * BUCKET
-        out = np.zeros((ph, pw, 3), np.float32)
+        out = np.zeros((ph, pw, 3), arr.dtype)
         out[:h, :w] = arr
         return out
 
@@ -121,7 +146,9 @@ class UPNWrapper:
             metas.append((orig_w, orig_h))
             groups.setdefault(padded.shape, []).append((i, padded, (nh, nw)))
 
-        # device pass: one async dispatch per same-bucket chunk
+        # device pass: one async dispatch per same-bucket chunk; the
+        # postprocess (sigmoid + xyxy scaling + sort) is fused in, so the
+        # collect pass pulls two small sorted arrays per chunk
         pending = []  # (indices, device out)
         for shape, items in groups.items():
             for c0 in range(0, len(items), max(batch_size, 1)):
@@ -129,28 +156,21 @@ class UPNWrapper:
                 idxs = [it[0] for it in chunk]
                 stack = np.stack([it[1] for it in chunk])
                 hw = np.array([it[2] for it in chunk], np.int32)
+                wh = np.array([metas[i] for i in idxs], np.float32)
                 out = _jit_forward(self.params, self.cfg, self.swin_cfg,
                                    jnp.asarray(stack), jnp.asarray(hw),
-                                   prompt_type)
+                                   prompt_type, jnp.asarray(wh))
                 pending.append((idxs, out))
 
-        # collect pass: block per chunk only now, postprocess on host
+        # collect pass: block per chunk only now
         all_boxes = [None] * n
         all_scores = [None] * n
         for idxs, out in pending:
-            pb = np.asarray(out["pred_boxes"], np.float32)   # cxcywh [0,1]
-            ps = np.asarray(jax.nn.sigmoid(out["pred_logits"]), np.float32)
+            xy = np.asarray(out["xyxy_sorted"], np.float32)
+            sc = np.asarray(out["scores_sorted"], np.float32)
             for row, i in enumerate(idxs):
-                orig_w, orig_h = metas[i]
-                boxes, scores = pb[row], ps[row]
-                xyxy = np.empty_like(boxes)
-                xyxy[:, 0] = (boxes[:, 0] - boxes[:, 2] / 2) * orig_w
-                xyxy[:, 1] = (boxes[:, 1] - boxes[:, 3] / 2) * orig_h
-                xyxy[:, 2] = (boxes[:, 0] + boxes[:, 2] / 2) * orig_w
-                xyxy[:, 3] = (boxes[:, 1] + boxes[:, 3] / 2) * orig_h
-                order = np.argsort(-scores[:, 0], kind="stable")
-                all_boxes[i] = xyxy[order]
-                all_scores[i] = scores[order]
+                all_boxes[i] = xy[row]
+                all_scores[i] = sc[row]
         return {"original_xyxy_boxes": np.stack(all_boxes),
                 "scores": np.stack(all_scores)}
 
