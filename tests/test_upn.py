@@ -167,6 +167,41 @@ def test_upn_config_from_reference_config_dict(tmp_path):
     assert cfg2.num_encoder_layers == 3 and cfg2.num_queries == 300
 
 
+def test_upn_uint8_bucket_pad_is_zero_in_normalized_space(rng):
+    """The reference pads with 0.0 AFTER ImageNet normalization
+    (nested_tensor.py nested_tensor_from_tensor_list); the uint8 device
+    path must match — a zero uint8 pad would normalize to ~-2 (black) and
+    shift boundary-window Swin features on every bucket-padded image."""
+    from vlm_fo1_tpu.upn.wrapper import (
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+        _jit_forward,
+    )
+
+    upn = UPNWrapper.random_init(cfg=TINY_UPN, swin_cfg=TINY_SWIN)
+    arr = rng.integers(0, 255, (70, 90, 3), dtype=np.uint8)
+    padded_u8 = upn._pad_to_bucket(arr)          # 128x128 bucket
+    assert padded_u8.shape[:2] != arr.shape[:2]  # padding actually happens
+    hw = jnp.asarray([[70, 90]], np.int32)
+    out_u8 = _jit_forward(upn.params, upn.cfg, upn.swin_cfg,
+                          jnp.asarray(padded_u8[None]), hw,
+                          "fine_grained_prompt")
+
+    # fp32 oracle: normalize on host, THEN zero-pad (the reference order)
+    norm = (arr.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    padded_f = np.zeros(padded_u8.shape, np.float32)
+    padded_f[:70, :90] = norm
+    out_f = _jit_forward(upn.params, upn.cfg, upn.swin_cfg,
+                         jnp.asarray(padded_f[None]), hw,
+                         "fine_grained_prompt")
+    np.testing.assert_allclose(np.asarray(out_u8["pred_boxes"]),
+                               np.asarray(out_f["pred_boxes"]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_u8["pred_logits"]),
+                               np.asarray(out_f["pred_logits"]),
+                               rtol=1e-3, atol=1e-3)
+
+
 def test_upn_batched_inference_matches_single(rng):
     """Multi-image inference (same-bucket batching + async dispatch) must
     reproduce the per-image results; mixed buckets group correctly."""

@@ -44,7 +44,16 @@ def _jit_forward(params, cfg, swin_cfg, image, valid_hw, prompt,
         mean = jnp.asarray(IMAGENET_MEAN * 255.0)
         std = jnp.asarray(IMAGENET_STD * 255.0)
         image = ((image.astype(jnp.float32) - mean) / std).astype(cdt)
-    else:  # pre-normalized fp32 (parity tests)
+        # The reference pads with 0.0 AFTER normalization
+        # (nested_tensor.py nested_tensor_from_tensor_list); uint8 zero-pad
+        # would normalize to ~-2 (black), and Swin has no pixel-validity
+        # masking — so zero the invalid bucket region in normalized space.
+        rows = jnp.arange(image.shape[1])[None, :, None]   # [1, H, 1]
+        cols = jnp.arange(image.shape[2])[None, None, :]   # [1, 1, W]
+        valid = ((rows < valid_hw[:, 0, None, None])
+                 & (cols < valid_hw[:, 1, None, None]))    # [B, H, W]
+        image = image * valid[..., None].astype(cdt)
+    else:  # pre-normalized fp32 (parity tests) — already zero-padded
         image = image.astype(cdt)
     out = upn_forward(params, cfg, swin_cfg, image, valid_hw, prompt)
     if orig_wh is not None:
