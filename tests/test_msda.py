@@ -239,6 +239,77 @@ def test_pallas_core_chunked_levels_match(rng):
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("force", ["fast8", "slow"])
+def test_pallas_forced_per8_paths_match_xla(rng, force, monkeypatch):
+    """The per-8 patch paths (fast8 16-row window matmul / slow8
+    rotate-merge) and the any_miss merge, forced via VLM_FO1_MSDA_FORCE —
+    the natural CPU tests always take the 64-query supergroup fast path,
+    leaving these hot fallbacks unexercised (ADVICE r2 medium)."""
+    from vlm_fo1_tpu.ops.msda_pallas import ms_deform_attn_core_fast
+
+    monkeypatch.setenv("VLM_FO1_MSDA_FORCE", force)
+    shapes = ((6, 8), (3, 4))
+    s = sum(h * w for h, w in shapes)
+    b, lq, m, p, d = 2, 70, 2, 4, 32
+    value = rng.standard_normal((b, s, m, d)).astype(np.float32)
+    if force == "fast8":
+        # clustered: each 8-query group samples one shared location per
+        # slot, so its rows share a 16-row window -> the fast8 branch
+        base = rng.uniform(0.1, 0.9, (b, -(-lq // 8), m, len(shapes), p, 2))
+        loc = np.repeat(base, 8, axis=1)[:, :lq].astype(np.float32)
+    else:
+        loc = rng.uniform(-0.3, 1.3, (b, lq, m, len(shapes), p, 2)).astype(
+            np.float32)
+    w = np.array(jax.nn.softmax(jnp.asarray(
+        rng.standard_normal((b, lq, m, len(shapes) * p)).astype(np.float32))
+    ).reshape(b, lq, m, len(shapes), p))
+    # zero a whole 8-group's weights on slot 0 -> the gb=-2 occupancy
+    # sentinel (skip) must not change the (zero) contribution
+    w[:, 8:16, :, 0, 0] = 0.0
+
+    want = np.asarray(ms_deform_attn_core(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w)))
+    got = np.asarray(ms_deform_attn_core_fast(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w),
+        True, 256))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_pallas_large_unchunked_level_mixes_paths(rng):
+    """A >128-quad-row level below the chunking threshold: random locations
+    overflow the 128-row supergroup window, so the kernel mixes the
+    straight-line fast path with per-8 patches and the any_miss merge."""
+    from vlm_fo1_tpu.ops.msda_pallas import ms_deform_attn_core_fast
+
+    shapes = ((16, 16), (4, 4))  # level 0 quad-packs to 18*18 = 324 rows
+    s = sum(h * w for h, w in shapes)
+    b, lq, m, p, d = 1, 130, 2, 4, 32
+    value = rng.standard_normal((b, s, m, d)).astype(np.float32)
+    loc = rng.uniform(-0.2, 1.2, (b, lq, m, len(shapes), p, 2)).astype(
+        np.float32)
+    w = np.asarray(jax.nn.softmax(jnp.asarray(
+        rng.standard_normal((b, lq, m, len(shapes) * p)).astype(np.float32))
+    ).reshape(b, lq, m, len(shapes), p))
+    want = np.asarray(ms_deform_attn_core(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w)))
+    got = np.asarray(ms_deform_attn_core_fast(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w),
+        True, 256))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_fit_qb_degrades_instead_of_asserting():
+    """Configs whose P*glen can't fit one SMEM row must downsize qb or
+    split the level group, not assert (ADVICE r2 low)."""
+    from vlm_fo1_tpu.ops.msda_pallas import _fit_qb
+
+    assert _fit_qb(256, 20) == 256          # UPN default (P=4, 5 levels)
+    assert _fit_qb(256, 24) == 256          # 6 packed levels still fit
+    assert _fit_qb(256, 32) == 256          # 8 packed levels, exactly fits
+    assert _fit_qb(256, 36) is None         # 9 levels -> caller splits
+    assert _fit_qb(256, 64) == 128          # halves to fit the SMEM row
+
+
 @pytest.mark.skipif(jax.default_backend() != "tpu",
                     reason="compiled-kernel check needs a real TPU")
 def test_pallas_compiled_matches_reference_on_tpu(rng):

@@ -119,7 +119,9 @@ def _msda_level_kernel(code_ref, dvm_ref, gb_ref, dw_ref, s0r_ref, w4_ref,
     # dvm: [1, QB, S] int32 VMEM — per (query, slot) in-window delta for
     #     the supergroup fast path
     # gb: [1, QB*S/128, 128] int32 SMEM — per (8-group, slot): 8-aligned
-    #     base of the 16-row fast-path window, or -1 -> per-sample path
+    #     base of the 16-row fast-path window, -1 -> per-sample path, or
+    #     -2 -> skip (no nonzero weight in the 8-group for this slot —
+    #     out-of-band in a chunked pass; skipping saves the load+matmul)
     # dw: [1, QB*S/128, 128] int32 SMEM — the 8 queries' in-window offsets,
     #     packed 4 bits each (8-query fast path)
     # s0r: [1, QB*S/128, 128] int32 SMEM — per sample, (8-aligned row base)
@@ -220,7 +222,7 @@ def _msda_level_kernel(code_ref, dvm_ref, gb_ref, dw_ref, s0r_ref, w4_ref,
                                 sel * w128_ref[pl.ds(q8, 8),
                                                s * 4 * d:(s + 1) * 4 * d]
 
-                        @pl.when(b8 < 0)
+                        @pl.when(b8 == -1)
                         def _slow8():
                             m = jnp.zeros((8, 4 * d), jnp.float32)
                             for i in range(8):
@@ -271,8 +273,9 @@ def _group_meta(starts_p, w4_p, b, m, lq_pad, n_samp, force=None):
 
     starts_p [B, Lqp, M*S], w4_p [B, Lqp, M*4S] ->
       s0r  [B, Lqp, M*S]   packed (aligned base) + (rotate amount)
-      gb   [B, Lqp, M*S]   per (8-group, slot) 16-row window base or -1,
-                           replicated across the group's 8 queries
+      gb   [B, Lqp, M*S]   per (8-group, slot) 16-row window base, -1
+                           (per-sample path) or -2 (8-group unoccupied ->
+                           skip), replicated across the group's 8 queries
       dw   [B, Lqp, M*S]   packed 4-bit deltas (8-query fast path)
       code [B, nq64, M*S]  per (64-query supergroup, slot): -2 skip /
                            -1 per-8 paths / >=0 128-row window base
@@ -310,6 +313,11 @@ def _group_meta(starts_p, w4_p, b, m, lq_pad, n_samp, force=None):
     if force == "slow":
         fast8 = jnp.zeros_like(fast8)
     code = jnp.where(occ64, jnp.where(fast64, base64, -1), -2)
+    # per-8-group occupancy: subgroups with no nonzero weight in a slot
+    # (out-of-band samples in a chunked row-band pass) skip the per-8
+    # load+matmul entirely via the -2 sentinel
+    occ8 = ((w4_p != 0).reshape(b, nq8, 8, m, 4 * n_samp).any(axis=2)
+            .reshape(b, nq8, m, n_samp, 4).any(-1))
     rep64 = jnp.broadcast_to(fast64[:, :, None],
                              (b, nq64, 64, m, n_samp)
                              ).reshape(b, lq_pad, m * n_samp)
@@ -319,7 +327,7 @@ def _group_meta(starts_p, w4_p, b, m, lq_pad, n_samp, force=None):
             base64[:, :, None], (b, nq64, 64, m, n_samp)
         ).reshape(b, lq_pad, m * n_samp), 0, 127),
         -1)
-    gb = jnp.where(fast8, gb, -1)
+    gb = jnp.where(occ8, jnp.where(fast8, gb, -1), -2)
 
     def rep8(x):  # replicate group values across their 8 queries so gb/dw
         # share s0r's dense [.., Lqp*S/128, 128] layout
@@ -341,6 +349,21 @@ def _to_slab3(x, m, last):
     b, rows, _ = x.shape
     return x.reshape(b, rows, m, last).transpose(0, 2, 1, 3).reshape(
         b * m, rows, last)
+
+
+def _fit_qb(qb_top: int, n_samp: int) -> int | None:
+    """Largest qb = qb_top / 2^k satisfying the kernel block constraints
+    for this pass's n_samp: 64-divisible, dense index blocks 8-row exact
+    ((qb*n_samp) % 1024 == 0), and the supergroup codes fitting one
+    128-lane SMEM row ((qb//64)*n_samp <= 128). None if no power-of-two
+    reduction fits — the caller then splits the level group instead."""
+    q = qb_top
+    while q >= 64:
+        if (q % 64 == 0 and (q * n_samp) % 1024 == 0
+                and (q // 64) * n_samp <= 128):
+            return q
+        q //= 2
+    return None
 
 
 def _pass_call(starts_p, w4_p, val4, *, b, m, n_samp, d, qb, interpret,
@@ -524,10 +547,17 @@ def _msda_pallas(value, spatial_shapes, loc_flat, aw_flat, *, n_heads,
     def flush(out, group):
         if not group:
             return out
+        glen = len(group)
+        qb_p = _fit_qb(qb, P * glen)
+        if qb_p is None:
+            # no block size fits this many packed levels in one pass —
+            # split the group rather than assert (large P*glen configs)
+            half = glen // 2
+            out = flush(out, group[:half])
+            return flush(out, group[half:])
         offs = np.cumsum([0] + [g[0].shape[1] for g in group[:-1]])
         gval = jnp.concatenate([g[0] for g in group], 1)
         lvls = [g[1] for g in group]
-        glen = len(lvls)
         st, w4 = level_slices(lvls)
         if glen > 1:
             # per-level row offsets into the concatenated map, as a lane
@@ -537,7 +567,7 @@ def _msda_pallas(value, spatial_shapes, loc_flat, aw_flat, *, n_heads,
         else:
             st = st + jnp.int32(0)
         return out + _pass_call(st, w4, gval, b=b, m=m, n_samp=P * glen,
-                                d=d, qb=qb, interpret=interpret,
+                                d=d, qb=qb_p, interpret=interpret,
                                 force=force, xp=xp)
 
     for val4, lvl in level_data:
@@ -556,7 +586,7 @@ def _msda_pallas(value, spatial_shapes, loc_flat, aw_flat, *, n_heads,
                 rpad = (-band.shape[1]) % 8 + 128
                 band = jnp.pad(band, ((0, 0), (0, rpad), (0, 0)))
                 out = out + _pass_call(st_c, w4_c, band, b=b, m=m,
-                                       n_samp=P, d=d, qb=qb,
+                                       n_samp=P, d=d, qb=_fit_qb(qb, P),
                                        interpret=interpret, force=force,
                                        xp=xp)
             continue
