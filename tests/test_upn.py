@@ -167,6 +167,101 @@ def test_upn_config_from_reference_config_dict(tmp_path):
     assert cfg2.num_encoder_layers == 3 and cfg2.num_queries == 300
 
 
+def test_two_stage_proposal_oracle(rng):
+    """gen_anchor_proposals + validity masking + inf-filled unsigmoid vs an
+    independent numpy port of the reference's gen_encoder_output_proposals
+    (detr_utils.py:352-415): grid (g+0.5)/(valid_W, valid_H), wh=0.05*2^lvl,
+    valid iff all coords in (0.01, 0.99), inf where padded-or-invalid."""
+    shapes = ((6, 8), (3, 4))
+    b = 2
+    valid_hw = np.array([[21, 29], [24, 32]], np.int32)  # stride-4 level 0
+    strides = [4, 8]
+    lv = np.stack([np.ceil(valid_hw / s) for s in strides], 1)  # [B, L, 2]
+    # valid_ratios in (w, h) order like the model: lvw/W, lvh/H
+    vr = np.stack([np.stack([lv[:, i, 1] / w, lv[:, i, 0] / h], -1)
+                   for i, (h, w) in enumerate(shapes)], 1).astype(np.float32)
+    key_pad = []
+    for i, (h, w) in enumerate(shapes):
+        mh = np.arange(h)[None, :] >= lv[:, i, 0:1]
+        mw = np.arange(w)[None, :] >= lv[:, i, 1:2]
+        key_pad.append((mh[:, :, None] | mw[:, None, :]).reshape(b, -1))
+    key_pad = np.concatenate(key_pad, 1)
+
+    # ---- numpy oracle (reference semantics)
+    props = []
+    for lvl, (h, w) in enumerate(shapes):
+        gy, gx = np.meshgrid(np.arange(h, dtype=np.float32),
+                             np.arange(w, dtype=np.float32), indexing="ij")
+        grid = np.stack([gx, gy], -1)[None].repeat(b, 0)        # [B,H,W,2]
+        scale = lv[:, lvl, ::-1].astype(np.float32)             # (W, H)
+        grid = (grid + 0.5) / scale[:, None, None, :]
+        wh = np.full_like(grid, 0.05 * 2.0**lvl)
+        props.append(np.concatenate([grid, wh], -1).reshape(b, -1, 4))
+    props = np.concatenate(props, 1)
+    valid = ((props > 0.01) & (props < 0.99)).all(-1)
+    unsig = np.log(props / (1 - props))
+    unsig[key_pad | ~valid] = np.inf
+
+    # ---- model composition (the two-stage block of upn_forward)
+    got_props = np.asarray(gen_anchor_proposals(shapes, jnp.asarray(vr)))
+    got_valid = np.asarray(
+        jnp.all((jnp.asarray(got_props) > 0.01)
+                & (jnp.asarray(got_props) < 0.99), -1)) & ~key_pad
+    got_unsig = np.where(got_valid[..., None],
+                         np.asarray(inverse_sigmoid(jnp.asarray(got_props),
+                                                    eps=0.0)), np.inf)
+    np.testing.assert_allclose(got_props, props, atol=1e-6)
+    np.testing.assert_array_equal(got_valid, valid & ~key_pad)
+    np.testing.assert_allclose(got_unsig, unsig, atol=1e-5)
+
+
+def test_ref_point_head_sine_oracle(rng):
+    """sineembed_512 vs an independent numpy port of the reference's
+    gen_sineembed_for_position (detr_utils.py:276-310): per coordinate,
+    128 feats at temperature 10000, sin on even / cos on odd lanes
+    interleaved, concatenated in (y, x, w, h) order."""
+    from vlm_fo1_tpu.upn.model import sineembed_512
+
+    b, n = 2, 7
+    pos = rng.uniform(0.01, 0.99, (b, n, 4)).astype(np.float32)
+
+    def np_emb(c):  # [B, N] -> [B, N, 128]
+        dim_t = 10000.0 ** (2 * (np.arange(128) // 2) / 128.0)
+        f = c[..., None] * (2 * np.pi) / dim_t
+        return np.stack([np.sin(f[..., 0::2]), np.cos(f[..., 1::2])],
+                        -1).reshape(b, n, -1)
+
+    want = np.concatenate([np_emb(pos[..., 1]), np_emb(pos[..., 0]),
+                           np_emb(pos[..., 2]), np_emb(pos[..., 3])], -1)
+    got = np.asarray(sineembed_512(jnp.asarray(pos), d=128))
+    assert got.shape == (b, n, 512)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_encoder_reference_points_oracle(rng):
+    """_encoder_reference_points vs a numpy port of the reference's
+    get_reference_points (upn_encoder.py:194-208): per-level centered grid
+    normalized by valid_ratio*size, then scaled per target level."""
+    from vlm_fo1_tpu.upn.model import _encoder_reference_points
+
+    shapes = ((4, 6), (2, 3))
+    vr = rng.uniform(0.5, 1.0, (2, len(shapes), 2)).astype(np.float32)
+
+    pts = []
+    for lvl, (h, w) in enumerate(shapes):
+        ry = np.linspace(0.5, h - 0.5, h, dtype=np.float32)
+        rx = np.linspace(0.5, w - 0.5, w, dtype=np.float32)
+        gy, gx = np.meshgrid(ry, rx, indexing="ij")
+        gy = gy.reshape(-1)[None] / (vr[:, None, lvl, 1] * h)
+        gx = gx.reshape(-1)[None] / (vr[:, None, lvl, 0] * w)
+        pts.append(np.stack([gx, gy], -1))
+    ref = np.concatenate(pts, 1)
+    want = ref[:, :, None] * vr[:, None]
+
+    got = np.asarray(_encoder_reference_points(shapes, jnp.asarray(vr)))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
 def test_upn_uint8_bucket_pad_is_zero_in_normalized_space(rng):
     """The reference pads with 0.0 AFTER ImageNet normalization
     (nested_tensor.py nested_tensor_from_tensor_list); the uint8 device
