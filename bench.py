@@ -205,7 +205,10 @@ def main():
     # overlaps device compute of batch i (runtime/serving.py)
     serving = None
     if batch == 1 and os.environ.get("BENCH_SERVING", "1") == "1":
-        sbatch = int(os.environ.get("BENCH_SERVING_BATCH", "8"))
+        # 16 = the measured knee of the batch sweep (tools/sweep_serving.py,
+        # r3: 8 -> 10.1, 16 -> 11.4, 24 -> 11.6 noisy, 32 -> collapses under
+        # HBM pressure on the shared slice); 16 is the most consistent
+        sbatch = int(os.environ.get("BENCH_SERVING_BATCH", "16"))
         # long enough that pipeline fill/drain (~1 batch-time; the device
         # profile shows back-to-back program executions with <0.1ms gaps)
         # doesn't dominate the steady-state estimate
