@@ -66,7 +66,10 @@ def main():
                                        text["layers"])
         gen = GenerationConfig(max_new_tokens=n_tokens, eos_token_id=-1)
 
-        def go(key):
+        def go(p, key):
+            # params as an ARGUMENT: closing over them captures ~3GB as
+            # program constants, which bloats the compile payload enough
+            # to break the tunneled remote-compile link
             cache, logits = prefill.__wrapped__(p, tcfg, embeds, pos,
                                                 seq_lens, clen)
             toks, steps, _ = decode_loop.__wrapped__(
@@ -75,11 +78,11 @@ def main():
 
         f = jax.jit(go)
         key = jax.random.PRNGKey(0)
-        np.asarray(f(key))  # compile
+        np.asarray(f(p, key))  # compile
         ts = []
         for _ in range(6):
             t0 = time.perf_counter()
-            np.asarray(f(key))
+            np.asarray(f(p, key))
             ts.append(time.perf_counter() - t0)
         return min(ts)
 

@@ -357,14 +357,22 @@ def upn_forward(
     key_pad = jnp.concatenate(masks, 1)               # [B, S]
 
     # ------------------------------------------------------------ encoder
+    # lax.scan over stacked layer params: ONE traced/compiled layer body
+    # instead of num_encoder_layers copies (the layers are structurally
+    # identical; this is what cut the 200s+ first-compile — each encoder
+    # layer contains a multi-pass Pallas MSDA program)
     memory = src
     enc_ref = _encoder_reference_points(spatial_shapes, valid_ratios)
-    for layer in params["encoder"]:
-        attn = msda_layer(layer["self_attn"], memory + pos, enc_ref, memory,
+    enc_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *params["encoder"])
+
+    def enc_body(mem, layer):
+        attn = msda_layer(layer["self_attn"], mem + pos, enc_ref, mem,
                           spatial_shapes, cfg.n_heads, cfg.n_points,
                           key_padding_mask=key_pad)
-        memory = nn.layer_norm(layer["norm1"], memory + attn)
-        memory = _ffn(layer, memory)
+        mem = nn.layer_norm(layer["norm1"], mem + attn)
+        return _ffn(layer, mem), None
+
+    memory, _ = jax.lax.scan(enc_body, memory, enc_stack)
 
     # ------------------------------------------------- two-stage proposals
     proposals = gen_anchor_proposals(spatial_shapes, valid_ratios)
@@ -395,9 +403,11 @@ def upn_forward(
     # ------------------------------------------------------------ decoder
     ref = jax.nn.sigmoid(refpoints_unsig)
     vr4 = jnp.concatenate([valid_ratios, valid_ratios], -1)  # [B, L, 4]
-    out = tgt
-    ref_before = ref
-    for layer in params["decoder"]["layers"]:
+    dec_stack = jax.tree.map(lambda *xs: jnp.stack(xs),
+                             *params["decoder"]["layers"])
+
+    def dec_body(carry, layer):
+        out, ref, _ = carry
         ref_input = ref[:, :, None] * vr4[:, None]           # [B, nq, L, 4]
         # 128 feats/coord at d_model=256 (reference detr_utils.py:276-310)
         qse = sineembed_512(ref_input[:, :, 0, :], d=cfg.d_model // 2)
@@ -414,9 +424,12 @@ def upn_forward(
         out = _ffn({"linear1": layer["linear1"], "linear2": layer["linear2"],
                     "norm3": layer["norm3"]}, out)
         # iterative refinement uses the raw layer output...
-        ref_before = ref
         delta = _mlp_forward(params["bbox_embed"], out).astype(jnp.float32)
-        ref = jax.nn.sigmoid(delta + inverse_sigmoid(ref))
+        new_ref = jax.nn.sigmoid(delta + inverse_sigmoid(ref))
+        return (out, new_ref, ref), None
+
+    (out, ref, ref_before), _ = jax.lax.scan(
+        dec_body, (tgt, ref, ref), dec_stack)
 
     # ...but the reported boxes recompute the last refinement from the
     # LayerNormed hidden states (reference upn_model.py:110-122 applies
