@@ -71,6 +71,26 @@ def test_window_attention_locality(rng):
     assert np.abs(out1[0, 4:, 4:] - out2[0, 4:, 4:]).max() > 1e-3
 
 
+def test_depthwise_taps_match_grouped_conv(rng):
+    """The shifted multiply-add depthwise formulation must equal XLA's
+    grouped conv (the lowering it replaces for speed on TPU)."""
+    from vlm_fo1_tpu.models.davit import _conv_nhwc
+
+    c = 24
+    p = {
+        "w": jnp.asarray(rng.standard_normal((c, 1, 3, 3)).astype(np.float32)),
+        "b": jnp.asarray(rng.standard_normal(c).astype(np.float32)),
+    }
+    x = jnp.asarray(rng.standard_normal((2, 9, 11, c)).astype(np.float32))
+    got = _conv_nhwc(p, x, stride=1, padding=1, groups=c)
+    want = jax.lax.conv_general_dilated(
+        x, p["w"], window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "OIHW", "NHWC"), feature_group_count=c,
+    ) + p["b"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_channel_attention_shape(rng):
     dim, groups = 12, 3
     p = {

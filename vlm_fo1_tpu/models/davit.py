@@ -76,7 +76,26 @@ def _conv_nhwc(p, x, stride=1, padding=0, groups=1):
     if isinstance(padding, int):
         padding = ((padding, padding), (padding, padding))
     kh, kw = p["w"].shape[-2:]
-    if groups == 1 and x.shape[-1] <= 16 and (kh > 1 or kw > 1):
+    if (groups == x.shape[-1] and groups == p["w"].shape[0]
+            and stride == (1, 1)):
+        # depthwise k x k: XLA's grouped-conv lowering runs ~50x below the
+        # VPU/bandwidth floor on TPU (profiled 0.8ms for the 40-MFLOP 3x3 at
+        # 48^2 x 1024 — tools/xp_davit_micro.py). Formulate as k^2 shifted
+        # multiply-adds instead: pure elementwise work XLA fuses into ONE
+        # pass over the map, accumulating in f32 like the conv path.
+        (pt, pb), (pl, pr) = padding
+        b, h, wd, c = x.shape
+        xp = jnp.pad(x, ((0, 0), (pt, pb), (pl, pr), (0, 0)))
+        oh = h + pt + pb - kh + 1
+        ow = wd + pl + pr - kw + 1
+        wf = p["w"].astype(jnp.float32)  # [C, 1, kh, kw]
+        acc = jnp.zeros((b, oh, ow, c), jnp.float32)
+        for di in range(kh):
+            for dj in range(kw):
+                acc = acc + (xp[:, di:di + oh, dj:dj + ow, :]
+                             .astype(jnp.float32) * wf[:, 0, di, dj])
+        y = acc.astype(x.dtype)
+    elif groups == 1 and x.shape[-1] <= 16 and (kh > 1 or kw > 1):
         # few-input-channel stem conv (the RGB 7x7/s4): TPU convs with a
         # 3-deep input channel dim run an order of magnitude below MXU rate
         # (profiled ~5 TFLOP/s); extract the patches explicitly and do one
