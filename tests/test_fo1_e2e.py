@@ -217,12 +217,87 @@ def test_serving_pipeline_matches_generate_batch(model, rng):
                                   max_pixels=128 * 128))
     pipe = ServingPipeline(model, ServingOptions(
         batch_size=2, max_new_tokens=4, max_pixels=128 * 128,
-        prepare_workers=2, max_in_flight=2))
+        prepare_workers=2, max_in_flight=2, device_preproc=False))
     out = pipe.run(msgs)
     assert len(out) == len(msgs)
     for r, e in zip(out, ref):
         np.testing.assert_array_equal(r.token_ids, e.token_ids)
         assert r.prompt_len == e.prompt_len
+
+
+def _smooth_messages(rng, h=192, w=256, n_boxes=3):
+    """Band-limited test image (resampling comparisons on white noise are
+    meaningless — no resampler preserves unbanded content)."""
+    yy, xx = np.indices((h, w)).astype(np.float32)
+    img = np.stack([
+        128 + 100 * np.sin(xx / 17.0) * np.cos(yy / 23.0),
+        128 + 100 * np.cos(xx / 29.0 + 1.0),
+        128 + 100 * np.sin(yy / 13.0 + 2.0),
+    ], axis=-1).clip(0, 255).astype(np.uint8)
+    boxes = [[10.0 * i, 5.0 * i, 30.0 + 10.0 * i, 40.0 + 5.0 * i]
+             for i in range(n_boxes)]
+    return [{
+        "role": "user",
+        "content": [
+            {"type": "image_url", "image_url": {"url": Image.fromarray(img)}},
+            {"type": "text", "text": OD_template.format("orange")},
+        ],
+        "bbox_list": boxes,
+    }]
+
+
+def test_device_preproc_vit_patches_exact(model, rng):
+    """Raw-image mode must produce EXACTLY the host pipeline's ViT patches:
+    patchify / temporal-duplicate / window-pad are relayouts that commute
+    with the elementwise normalize."""
+    import jax.numpy as jnp
+
+    from vlm_fo1_tpu.models.fo1 import (
+        _device_preproc_batched,
+        _normalize_on_device,
+    )
+    from vlm_fo1_tpu.preprocess.windowing import pad_pixel_values
+
+    msgs = _smooth_messages(rng)
+    cfg = model.cfg
+    prep_h = model.prepare(msgs, max_pixels=128 * 128)
+    prep_r = model.prepare(msgs, max_pixels=128 * 128, device_preproc=True)
+    assert prep_r["raw_image"] is not None and prep_r["pixel_values"] is None
+    assert prep_h["grid"] == prep_r["grid"]
+    plan = prep_h["plan"]
+    pv = pad_pixel_values(prep_h["pixel_values"], plan)[None]
+    want_p, want_a = _normalize_on_device(
+        jnp.asarray(pv), jnp.asarray(prep_h["aux"][None]), cfg, jnp.float32)
+    got_p, got_a = _device_preproc_batched(
+        jnp.asarray(prep_r["raw_image"][None]), cfg,
+        jnp.asarray(plan.gather_idx), jnp.float32)
+    np.testing.assert_array_equal(np.asarray(got_p), np.asarray(want_p))
+    # aux: same 768^2-style squash, one resampling generation removed
+    # (device bicubic of the smart-resized image vs PIL bicubic of the
+    # shortest-edge image) — close, not exact
+    d = np.abs(np.asarray(got_a) - np.asarray(want_a))
+    assert d.mean() < 0.15, d.mean()
+    assert np.percentile(d, 99) < 1.0
+
+
+def test_serving_pipeline_device_preproc(model, rng):
+    """The minimal-transfer serving mode end-to-end: correct result count,
+    valid tokens, same prompt lengths as the exact path."""
+    from vlm_fo1_tpu.runtime.serving import ServingOptions, ServingPipeline
+
+    msgs = [_smooth_messages(rng, n_boxes=2 + (i % 3)) for i in range(4)]
+    pipe = ServingPipeline(model, ServingOptions(
+        batch_size=2, max_new_tokens=4, max_pixels=128 * 128,
+        prepare_workers=2, max_in_flight=2, device_preproc=True))
+    out = pipe.run(msgs)
+    exact = ServingPipeline(model, ServingOptions(
+        batch_size=2, max_new_tokens=4, max_pixels=128 * 128,
+        prepare_workers=2, max_in_flight=2, device_preproc=False)).run(msgs)
+    assert len(out) == len(msgs)
+    for r, e in zip(out, exact):
+        assert r.num_steps >= 1
+        assert r.prompt_len == e.prompt_len
+        assert np.asarray(r.token_ids).ndim == 1
 
 
 def test_fused_program_matches_multi_program_path(model, rng, monkeypatch):

@@ -87,6 +87,48 @@ def _normalize_on_device(patches, aux_image, cfg: FO1Config, dtype):
     return patches, aux_image
 
 
+def _device_preproc_batched(raw, cfg: FO1Config, gather_idx, dt):
+    """Raw smart-resized uint8 images [B, H, W, C] -> (ViT patches in the
+    padded window layout, DaViT aux input), entirely on device.
+
+    The ViT half is EXACT vs the host pipeline (patchify/temporal-duplicate/
+    window-pad are pure relayouts that commute with the elementwise
+    normalize; same fp32 affine, same cast). The aux half approximates the
+    reference's PIL-bicubic 768^2 squash of the shortest-edge-resized image
+    (mm_utils.py aux branch) with a device bicubic resize of the
+    smart-resized image — one extra resampling generation; the win is
+    shipping ONE raw image (~0.6MB) instead of uint8 patch rows + a
+    768^2 aux image (~3.3MB) over the ~20MB/s tunneled host->device link."""
+    from vlm_fo1_tpu.preprocess.image import (
+        AUX_IMAGE_MEAN,
+        AUX_IMAGE_STD,
+        qwen_patch_norm_vectors,
+    )
+
+    ph = cfg.vision.patch_size
+    m = cfg.vision.spatial_merge_size
+    tps = cfg.vision.temporal_patch_size
+    b, hb, wb, c = raw.shape
+    gh, gw = hb // ph, wb // ph
+
+    # patchify: [B,H,W,C] -> rows ordered (h_block, w_block, merge_h,
+    # merge_w), row layout [c, t, ph, pw] (image.py qwen_image_patchify_u8)
+    x = raw.reshape(b, gh // m, m, ph, gw // m, m, ph, c)
+    x = x.transpose(0, 1, 4, 2, 5, 7, 3, 6)  # [B,ghm,gwm,m,mw,C,ph,pw]
+    x = x.reshape(b, gh * gw, c, 1, ph, ph)
+    x = jnp.broadcast_to(x, (b, gh * gw, c, tps, ph, ph))
+    x = x.reshape(b, gh * gw, c * tps * ph * ph)
+    x = jnp.take(x, gather_idx, axis=1)  # pad to the window layout
+    mean, std = qwen_patch_norm_vectors(ph, tps)
+    patches = ((x.astype(jnp.float32) / 255.0 - mean) / std).astype(dt)
+
+    size = cfg.aux_image_size
+    aux = jax.image.resize(raw.astype(jnp.float32), (b, size, size, c),
+                           method="cubic") / 255.0
+    aux = ((aux - AUX_IMAGE_MEAN) / AUX_IMAGE_STD).astype(dt)
+    return patches, aux
+
+
 @partial(jax.jit, static_argnames=("cfg", "num_windows", "grid"))
 def _encode_image_and_regions(
     params, cfg: FO1Config,
@@ -120,10 +162,11 @@ def _encode_image_and_regions(
 @partial(jax.jit, static_argnames=("cfg", "num_windows", "grid"))
 def _encode_image_and_regions_batched(
     params, cfg: FO1Config,
-    patches,              # [B, P, patch_dim] — B same-geometry images
+    patches,              # [B, P, patch_dim] — or raw uint8 [B, H, W, 3]
     rot_cos, rot_sin, valid, inv_unit_idx, inv_token_idx,
-    aux_image,            # [B, Ha, Wa, 3]
+    aux_image,            # [B, Ha, Wa, 3] (None in raw mode)
     aux_boxes, vt_boxes,  # [B, Nb, 4] (shared bucket)
+    gather_idx=None,      # [P] window-pad gather (raw mode only)
     *, num_windows: int, grid: tuple,
 ):
     """Batched encode for same-geometry images: the ViT/DaViT stacks are
@@ -131,6 +174,9 @@ def _encode_image_and_regions_batched(
     The single biggest serving-throughput lever (SURVEY.md §7 step 9) — the
     reference loops images one-by-one (qwen2_5_vl_encoder.py:228-257)."""
     dt = _model_float_dtype(params["vision_tower"])
+    if patches.ndim == 4:  # raw uint8 images: full preproc on device
+        patches, aux_image = _device_preproc_batched(
+            patches, cfg, gather_idx, dt)
     patches, aux_image = _normalize_on_device(patches, aux_image, cfg, dt)
     tokens, captures = vit_forward(
         params["vision_tower"], cfg.vision, patches, rot_cos, rot_sin, valid,
@@ -212,6 +258,7 @@ def _splice_embeds_batched(params_text, input_ids, image_feats,
 def _serve_batch(params, cfg: FO1Config, gen_cfg, patches, rot_cos, rot_sin,
                  valid, inv_unit_idx, inv_token_idx, aux_image, aux_boxes,
                  vt_boxes, ids, img_pos, reg_pos, pos, seq_lens, deltas, rng,
+                 gather_idx=None,
                  *, num_windows: int, grid: tuple, pad_len: int,
                  cache_len: int):
     """The whole serving step — batched encode, embedding splice, prefill and
@@ -222,7 +269,7 @@ def _serve_batch(params, cfg: FO1Config, gen_cfg, patches, rot_cos, rot_sin,
     intermediate buffers. Returns (tokens [B, max_new], num_steps)."""
     vtok, rtok = _encode_image_and_regions_batched.__wrapped__(
         params, cfg, patches, rot_cos, rot_sin, valid, inv_unit_idx,
-        inv_token_idx, aux_image, aux_boxes, vt_boxes,
+        inv_token_idx, aux_image, aux_boxes, vt_boxes, gather_idx,
         num_windows=num_windows, grid=grid)
     embeds = _splice_embeds_batched.__wrapped__(
         params["text"], ids, vtok, img_pos, rtok, reg_pos, pad_len=pad_len)
@@ -254,6 +301,7 @@ class FO1Model:
         # so re-uploading them every call wastes several host->device round
         # trips per image on the (slow) tunneled link
         self._plan_device_cache: dict = {}
+        self._gather_device_cache: dict = {}  # raw-mode window-pad gathers
 
     def _device_plan(self, grid, plan):
         key = tuple(int(g) for g in grid)
@@ -309,10 +357,19 @@ class FO1Model:
 
     # ------------------------------------------------------ host pipeline
 
-    def prepare(self, messages: list[dict], max_pixels: int | None = None):
+    def prepare(self, messages: list[dict], max_pixels: int | None = None,
+                device_preproc: bool = False):
         """Host-side preparation mirroring prepare_inputs
         (reference mm_utils.py:530-655). Returns everything the device
-        programs need."""
+        programs need.
+
+        device_preproc=True (single-image prompts): ship ONE smart-resized
+        raw uint8 image and run patchify/window-pad/normalize AND the aux
+        768^2 squash on device (_device_preproc_batched) — ~5x fewer bytes
+        over the slow tunneled link. ViT numerics exact; the aux input is
+        one resampling generation removed from the reference's (bicubic
+        from the smart-resized image instead of from the shortest-edge
+        image)."""
         cfg = self.cfg
         prompt, tokens, media_urls, bbox_list = build_chat_tokens(
             self.tokenizer, messages)
@@ -344,6 +401,9 @@ class FO1Model:
         # per-slot primary preprocessing + window plans (the reference loops
         # media one-by-one through the tower, qwen2_5_vl_encoder.py:238)
         pvs, grids, plans, slot_ids = [], [], [], []
+        raw_image = None
+        raw_mode = (device_preproc and len(media) == 1
+                    and media[0][0] == "image")
         for kind, m in media:
             if kind == "video":
                 pv, grid = pp.qwen_video_preprocess(
@@ -352,6 +412,16 @@ class FO1Model:
                     min_pixels=cfg.min_pixels,
                     max_pixels=max_pixels or 1024 * 1024)
                 slot_ids.append(cfg.video_token_id)
+            elif raw_mode:
+                # minimal-bytes mode: ship the smart-resized raw image only;
+                # patchify + window-pad + aux squash happen on device
+                raw_image, grid = pp.qwen_image_raw_u8(
+                    m, patch_size=cfg.vision.patch_size,
+                    merge_size=cfg.vision.spatial_merge_size,
+                    min_pixels=cfg.min_pixels,
+                    max_pixels=max_pixels or cfg.max_pixels)
+                pv = None
+                slot_ids.append(cfg.image_token_id)
             else:
                 # ship raw uint8; the /255-mean-std affine runs on device
                 # fused into patch embed (see _normalize_on_device)
@@ -369,7 +439,9 @@ class FO1Model:
         if first_image_idx == 0:
             img = media[0][1]
             grid = grids[0]
-            aux = pp.aux_image_u8(img, cfg.aux_image_size)
+            # raw mode derives the aux squash on device from raw_image
+            aux = None if raw_mode else pp.aux_image_u8(img,
+                                                        cfg.aux_image_size)
             w, h = img.size
             aux_boxes = np.asarray(
                 pp.adjust_bbox(boxes, h, w, cfg.aux_image_size,
@@ -403,6 +475,7 @@ class FO1Model:
             "pixel_values_list": pvs, "grids": grids, "plans": plans,
             "first_is_image": first_image_idx == 0,
             "aux": aux, "aux_boxes": aux_boxes, "vt_boxes": vt_boxes,
+            "raw_image": raw_image,
             "splice": info, "position_ids": pos_ids, "rope_deltas": deltas,
         }
 
@@ -415,6 +488,20 @@ class FO1Model:
         plan = prep["plan"]
         dt = jax.tree.leaves(self.params["vision_tower"])[0].dtype
         first_is_image = prep.get("first_is_image", True)
+
+        if prep.get("raw_image") is not None and prep["pixel_values"] is None:
+            # a raw-mode prep routed through the non-fused path (streaming /
+            # profiling): materialize the host representations from the
+            # already-resized raw image
+            from PIL import Image as _Image
+
+            prep["pixel_values"] = pp.patchify_raw_np(
+                prep["raw_image"], cfg.vision.patch_size,
+                cfg.vision.spatial_merge_size,
+                cfg.vision.temporal_patch_size)
+            prep["pixel_values_list"] = [prep["pixel_values"]]
+            prep["aux"] = pp.aux_image_u8(
+                _Image.fromarray(prep["raw_image"]), cfg.aux_image_size)
 
         if first_is_image:
             n_real = len(prep["aux_boxes"])
@@ -597,7 +684,9 @@ class FO1Model:
             all(p.get("first_is_image", True) and len(p["plans"]) == 1
                 for p in preps)
             and len({tuple(int(g) for g in p["grid"])
-                     for p in preps}) == 1)
+                     for p in preps}) == 1
+            # uniform transfer mode: all raw-image or all patchified
+            and len({p.get("raw_image") is not None for p in preps}) == 1)
 
     def _launch_fused(
         self,
@@ -641,7 +730,8 @@ class FO1Model:
             enc["aux"], enc["aux_boxes"], enc["vt_boxes"], jnp.asarray(ids),
             jnp.asarray(img_pos), jnp.asarray(reg_pos), jnp.asarray(pos),
             jnp.asarray(seq_lens), jnp.asarray(deltas),
-            jax.random.PRNGKey(seed), num_windows=enc["num_windows"],
+            jax.random.PRNGKey(seed), enc["gather_idx"],
+            num_windows=enc["num_windows"],
             grid=enc["grid"], pad_len=pad_len,
             cache_len=pad_len + max_new_tokens)
         return {"tokens": tokens, "steps": steps, "seq_lens": seq_lens,
@@ -656,7 +746,8 @@ class FO1Model:
             and all(p.get("first_is_image", True) and len(p["plans"]) == 1
                     for p in preps)
             and len({tuple(int(g) for g in p["grid"])
-                     for p in preps}) == 1)
+                     for p in preps}) == 1
+            and len({p.get("raw_image") is not None for p in preps}) == 1)
         if not batchable:
             out = []
             for p in preps:
@@ -666,7 +757,7 @@ class FO1Model:
         enc = self._stack_batch_inputs(preps)
         vtok, rtok = _encode_image_and_regions_batched(
             self.params, self.cfg, enc["patches"], *enc["plan_arrays"],
-            enc["aux"], enc["aux_boxes"], enc["vt_boxes"],
+            enc["aux"], enc["aux_boxes"], enc["vt_boxes"], enc["gather_idx"],
             num_windows=enc["num_windows"], grid=enc["grid"])
         return [(p["splice"], enc["nb"], vtok[i], rtok[i])
                 for i, p in enumerate(preps)]
@@ -684,20 +775,33 @@ class FO1Model:
         def padded(b):
             return np.concatenate([b, np.tile(dummy, (nb - len(b), 1))])[:nb]
 
-        patches = np.stack([pad_pixel_values(p["pixel_values"], plan)
-                            for p in preps])
-        aux = np.stack([p["aux"] if p["aux"].dtype == np.uint8
-                        else p["aux"].transpose(1, 2, 0) for p in preps])
+        gather_d = None
+        if all(p.get("raw_image") is not None for p in preps):
+            # raw mode: ship ONE uint8 image per row; device does patchify,
+            # window-pad (via the cached gather) and the aux squash
+            patches_d = jnp.asarray(np.stack([p["raw_image"] for p in preps]))
+            aux_d = None
+            key = tuple(int(g) for g in grid)
+            gather_d = self._gather_device_cache.get(key)
+            if gather_d is None:
+                gather_d = jax.device_put(np.asarray(plan.gather_idx))
+                self._gather_device_cache[key] = gather_d
+        else:
+            patches = np.stack([pad_pixel_values(p["pixel_values"], plan)
+                                for p in preps])
+            aux = np.stack([p["aux"] if p["aux"].dtype == np.uint8
+                            else p["aux"].transpose(1, 2, 0) for p in preps])
+            patches_d = jnp.asarray(patches) if patches.dtype == np.uint8 \
+                else jnp.asarray(patches, dtype=dt)
+            aux_d = jnp.asarray(aux) if aux.dtype == np.uint8 \
+                else jnp.asarray(aux, dtype=dt)
         aux_b = np.stack([padded(p["aux_boxes"]) for p in preps])
         vt_b = np.stack([padded(p["vt_boxes"]) for p in preps])
-        patches_d = jnp.asarray(patches) if patches.dtype == np.uint8 \
-            else jnp.asarray(patches, dtype=dt)
-        aux_d = jnp.asarray(aux) if aux.dtype == np.uint8 \
-            else jnp.asarray(aux, dtype=dt)
         return {
             "patches": patches_d, "aux": aux_d,
             "aux_boxes": jnp.asarray(aux_b), "vt_boxes": jnp.asarray(vt_b),
             "plan_arrays": self._device_plan(grid, plan),
+            "gather_idx": gather_d,
             "num_windows": plan.num_windows, "grid": grid, "nb": nb,
         }
 

@@ -6,6 +6,8 @@ from vlm_fo1_tpu.preprocess.image import (  # noqa: F401
     adjust_bbox,
     qwen_image_preprocess,
     qwen_image_patchify_u8,
+    qwen_image_raw_u8,
+    patchify_raw_np,
     qwen_patch_norm_vectors,
     qwen_video_preprocess,
     aux_image_preprocess,
