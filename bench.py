@@ -92,6 +92,12 @@ def main():
                 pats = (ALL_QUANT_PATTERNS if quant in ("int8-all", "w8a8")
                         else DEFAULT_QUANT_PATTERNS)
                 model.params = quantize_params(model.params, pats)
+            elif quant == "int4-mlp" and preset != "tiny":
+                # hybrid speed mode: trunk MLPs as ONE fused int4 Pallas
+                # kernel per layer (ops/int4_mlp.py), rest int8-all
+                from vlm_fo1_tpu.quant import quantize_params_int4_mlp
+
+                model.params = quantize_params_int4_mlp(model.params)
             elif quant.startswith("int4") and preset != "tiny":
                 # the load_4bit serving config: packed int4 trunk
                 # (Pallas VMEM-unpack matmul), memory-optimal

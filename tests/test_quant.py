@@ -288,3 +288,92 @@ def test_int4_matmul_kernel_matches_reference(rng, m, k, n):
     got = np.asarray(int4_matmul(x, packed, scale, interpret=True))
     want = np.asarray(int4_matmul_reference(x, packed, scale))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("m,d,i", [(1, 64, 256), (5, 256, 768),
+                                   (16, 128, 128)])
+def test_int4_mlp_kernel_matches_reference(rng, m, d, i):
+    """Fused int4 SwiGLU kernel (interpret mode) vs its dequantize-then-
+    SwiGLU oracle, covering M padding and both tile widths (256/128)."""
+    from vlm_fo1_tpu.ops.int4_mlp import int4_mlp_matmul, int4_mlp_reference
+    from vlm_fo1_tpu.quant import quantize_mlp_int4
+
+    mlp = {
+        "gate_proj": {"w": jnp.asarray(
+            rng.standard_normal((d, i)).astype(np.float32) * 0.05)},
+        "up_proj": {"w": jnp.asarray(
+            rng.standard_normal((d, i)).astype(np.float32) * 0.05)},
+        "down_proj": {"w": jnp.asarray(
+            rng.standard_normal((i, d)).astype(np.float32) * 0.05)},
+    }
+    node = quantize_mlp_int4(mlp)["fused_int4"]
+    x = jnp.asarray(rng.standard_normal((m, d)).astype(np.float32))
+    got = np.asarray(int4_mlp_matmul(x, node, interpret=True))
+    want = np.asarray(int4_mlp_reference(x, node))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    # bf16 activations (the serving dtype) stay finite and close
+    xb = x.astype(jnp.bfloat16)
+    gotb = np.asarray(int4_mlp_matmul(xb, node, interpret=True), np.float32)
+    wantb = np.asarray(int4_mlp_reference(xb, node), np.float32)
+    np.testing.assert_allclose(gotb, wantb, rtol=2e-2, atol=2e-2)
+
+
+def test_int4_mlp_close_to_full_precision(rng):
+    """Error positioning: fused-int4 MLP sits between int8 and breakage,
+    same bound pattern as test_int4_linear_close_to_full_precision."""
+    from vlm_fo1_tpu.ops.int4_mlp import int4_mlp
+    from vlm_fo1_tpu.quant import quantize_mlp_int4
+
+    d, i, m = 256, 512, 7
+    mlp = {
+        "gate_proj": {"w": jnp.asarray(
+            rng.standard_normal((d, i)).astype(np.float32) * 0.05)},
+        "up_proj": {"w": jnp.asarray(
+            rng.standard_normal((d, i)).astype(np.float32) * 0.05)},
+        "down_proj": {"w": jnp.asarray(
+            rng.standard_normal((i, d)).astype(np.float32) * 0.05)},
+    }
+    x = jnp.asarray(rng.standard_normal((m, d)).astype(np.float32))
+
+    def silu(v):
+        return v * jax.nn.sigmoid(v)
+
+    full = np.asarray((silu(x @ mlp["gate_proj"]["w"])
+                       * (x @ mlp["up_proj"]["w"])) @ mlp["down_proj"]["w"])
+    node = quantize_mlp_int4(mlp)["fused_int4"]
+    got = np.asarray(int4_mlp(x, node))
+    err = np.abs(got - full).mean() / (np.abs(full).mean() + 1e-6)
+    assert err < 0.25, err
+
+
+def test_int4_mlp_generate_runs(rng):
+    """quantize_params_int4_mlp end to end on the tiny model: trunk MLP
+    becomes the fused node, attention/embedding go int8, generate runs."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from conftest import StubTokenizer
+    from PIL import Image
+
+    from vlm_fo1_tpu.config import FO1Config
+    from vlm_fo1_tpu.models.fo1 import FO1Model
+    from vlm_fo1_tpu.quant import quantize_params_int4_mlp
+
+    model = FO1Model.random_init(FO1Config.tiny(), seed=0,
+                                 tokenizer=StubTokenizer())
+    model.params = quantize_params_int4_mlp(model.params)
+    mlp = model.params["text"]["layers"]["mlp"]
+    if "fused_int4" in mlp:
+        assert set(mlp["fused_int4"]) == {"gate_pk", "gate_s", "up_pk",
+                                          "up_s", "down_pk", "down_s"}
+    assert "w_q" in model.params["text"]["layers"]["attn"]["q_proj"]
+    img = Image.fromarray(rng.integers(0, 255, (96, 96, 3), dtype=np.uint8))
+    msgs = [{"role": "user", "content": [
+        {"type": "image_url", "image_url": {"url": img}},
+        {"type": "text", "text": "hello"}],
+        "bbox_list": [[3.0, 3.0, 60.0, 60.0]]}]
+    r = model.generate(msgs, max_new_tokens=4, max_pixels=128 * 128)
+    assert r.num_steps >= 1
+    assert np.isfinite(np.asarray(r.token_ids)).all()

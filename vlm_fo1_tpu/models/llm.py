@@ -165,9 +165,17 @@ def _layer(layer, cfg, x, cos, sin, mask, layer_cache, cache_offset):
         cos, sin, mask, layer_cache, cache_offset)
     x = x + attn_out
     h = nn.rms_norm(layer["post_attention_layernorm"], x, eps=cfg.rms_norm_eps)
-    x = x + nn.linear(layer["mlp"]["down_proj"],
-                      act(nn.linear(layer["mlp"]["gate_proj"], h))
-                      * nn.linear(layer["mlp"]["up_proj"], h))
+    if "fused_int4" in layer["mlp"]:
+        # int4-mlp mode: one Pallas kernel streams gate+up+down packed
+        # nibbles exactly once (ops/int4_mlp.py; silu baked in)
+        assert cfg.hidden_act == "silu"
+        from vlm_fo1_tpu.ops.int4_mlp import int4_mlp
+
+        x = x + int4_mlp(h, layer["mlp"]["fused_int4"])
+    else:
+        x = x + nn.linear(layer["mlp"]["down_proj"],
+                          act(nn.linear(layer["mlp"]["gate_proj"], h))
+                          * nn.linear(layer["mlp"]["up_proj"], h))
     return x, new_cache
 
 

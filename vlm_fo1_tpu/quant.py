@@ -217,9 +217,60 @@ def quantize_linear_int4(p: dict) -> dict:
     return out
 
 
+@jax.jit
+def _quantize_weight_int4_outpack(w):
+    """[..., in, out] -> (nibble-packed int8 [..., in, out//2], f32 [..., out]
+    scales): OUTPUT-axis packing — byte[..., i, n] holds w[..., i, n] in the
+    low nibble and w[..., i, n + out//2] in the high one. This is the layout
+    the fused MLP kernel needs for its down projection (ops/int4_mlp.py):
+    contraction-axis packing would pair intermediate row i with i + in//2,
+    which lives in a different grid tile."""
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
+    scale = jnp.maximum(amax / 7.0, 1e-8)
+    q = jnp.clip(jnp.round(wf / scale), -8, 7).astype(jnp.int8)
+    half = q.shape[-1] // 2
+    lo = q[..., :, :half]
+    hi = q[..., :, half:]
+    packed = jnp.bitwise_or(jnp.bitwise_and(lo, 0x0F),
+                            jnp.left_shift(hi, 4)).astype(jnp.int8)
+    return packed, scale.squeeze(-2)
+
+
+def quantize_mlp_int4(mlp: dict) -> dict:
+    """SwiGLU MLP params {gate_proj, up_proj, down_proj} (each {"w"}, with
+    optional stacked leading layer axes) -> {"fused_int4": {...}} for the
+    one-kernel-per-layer decode path (ops/int4_mlp.int4_mlp). Biasless only
+    (all Qwen2.5 MLPs are)."""
+    assert "b" not in mlp["gate_proj"] and "b" not in mlp["down_proj"]
+    gate_pk, gate_s = _quantize_weight_int4(mlp["gate_proj"]["w"])
+    up_pk, up_s = _quantize_weight_int4(mlp["up_proj"]["w"])
+    down_pk, down_s = _quantize_weight_int4_outpack(mlp["down_proj"]["w"])
+    node = {"gate_pk": gate_pk, "gate_s": gate_s, "up_pk": up_pk,
+            "up_s": up_s, "down_pk": down_pk, "down_s": down_s}
+    jax.block_until_ready(node)
+    return {"fused_int4": node}
+
+
+def quantize_params_int4_mlp(params):
+    """The `int4-mlp` hybrid serving mode: trunk MLPs -> fused int4 kernel
+    (88% of per-layer decode weight bytes at half stream), everything else
+    (attention projections, vision towers, projectors, tied embedding/head)
+    -> the int8 paths of quantize_params(ALL_QUANT_PATTERNS). Speed-optimal
+    decode; quantization error confined to the MLPs."""
+    mlp = params["text"]["layers"]["mlp"]
+    if mlp["gate_proj"]["w"].shape[-2] % 2 == 0 \
+            and mlp["down_proj"]["w"].shape[-1] % 2 == 0:
+        params["text"]["layers"]["mlp"] = quantize_mlp_int4(mlp)
+    return quantize_params(params, ALL_QUANT_PATTERNS)
+
+
 def quantize_params_int4(params, patterns=DEFAULT_QUANT_PATTERNS):
     """Like quantize_params but 4-bit; linears with odd `in` dims are left
-    in full precision."""
+    in full precision. The (tied) embedding table is row-quantized to int8
+    (quantize_embedding): with tie_word_embeddings the lm-head IS the
+    embedding, and leaving it bf16 would make the head the dominant decode
+    stream (0.62GB/token) — defeating the memory-optimal mode's point."""
     compiled = [re.compile(p) for p in patterns]
 
     def walk(node, path):
@@ -238,4 +289,9 @@ def quantize_params_int4(params, patterns=DEFAULT_QUANT_PATTERNS):
             return [walk(v, path + (str(i),)) for i, v in enumerate(node)]
         return node
 
-    return walk(params, ())
+    out = walk(params, ())
+    emb = out.get("text", {}).get("embed_tokens") if isinstance(out, dict) \
+        else None
+    if isinstance(emb, dict) and "w" in emb and emb["w"].ndim == 2:
+        out["text"]["embed_tokens"] = quantize_embedding(emb)
+    return out

@@ -363,7 +363,6 @@ def upn_forward(
     # layer contains a multi-pass Pallas MSDA program)
     memory = src
     enc_ref = _encoder_reference_points(spatial_shapes, valid_ratios)
-    enc_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *params["encoder"])
 
     def enc_body(mem, layer):
         attn = msda_layer(layer["self_attn"], mem + pos, enc_ref, mem,
@@ -372,7 +371,10 @@ def upn_forward(
         mem = nn.layer_norm(layer["norm1"], mem + attn)
         return _ffn(layer, mem), None
 
-    memory, _ = jax.lax.scan(enc_body, memory, enc_stack)
+    if params["encoder"]:  # empty = encoder ablated (layer-sliced profiling)
+        enc_stack = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                 *params["encoder"])
+        memory, _ = jax.lax.scan(enc_body, memory, enc_stack)
 
     # ------------------------------------------------- two-stage proposals
     proposals = gen_anchor_proposals(spatial_shapes, valid_ratios)
@@ -403,8 +405,6 @@ def upn_forward(
     # ------------------------------------------------------------ decoder
     ref = jax.nn.sigmoid(refpoints_unsig)
     vr4 = jnp.concatenate([valid_ratios, valid_ratios], -1)  # [B, L, 4]
-    dec_stack = jax.tree.map(lambda *xs: jnp.stack(xs),
-                             *params["decoder"]["layers"])
 
     def dec_body(carry, layer):
         out, ref, _ = carry
@@ -428,8 +428,13 @@ def upn_forward(
         new_ref = jax.nn.sigmoid(delta + inverse_sigmoid(ref))
         return (out, new_ref, ref), None
 
-    (out, ref, ref_before), _ = jax.lax.scan(
-        dec_body, (tgt, ref, ref), dec_stack)
+    if params["decoder"]["layers"]:  # empty = decoder ablated (profiling)
+        dec_stack = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                 *params["decoder"]["layers"])
+        (out, ref, ref_before), _ = jax.lax.scan(
+            dec_body, (tgt, ref, ref), dec_stack)
+    else:
+        out, ref_before = tgt, ref
 
     # ...but the reported boxes recompute the last refinement from the
     # LayerNormed hidden states (reference upn_model.py:110-122 applies
