@@ -291,7 +291,8 @@ def test_int4_matmul_kernel_matches_reference(rng, m, k, n):
 
 
 @pytest.mark.parametrize("m,d,i", [(1, 64, 256), (5, 256, 768),
-                                   (16, 128, 128)])
+                                   (16, 128, 128), (200, 128, 256),
+                                   (300, 64, 128)])
 def test_int4_mlp_kernel_matches_reference(rng, m, d, i):
     """Fused int4 SwiGLU kernel (interpret mode) vs its dequantize-then-
     SwiGLU oracle, covering M padding and both tile widths (256/128)."""

@@ -124,7 +124,26 @@ def test_upn_wrapper_inference_and_filter(rng):
     assert len(det["original_xyxy_boxes"]) == 1
     assert len(det["original_xyxy_boxes"][0]) >= 1
     det2 = upn.filter(raw, min_score=2.0)  # nothing survives
-    assert det2["original_xyxy_boxes"] == []
+    assert det2["original_xyxy_boxes"] == [[]]  # empty row, not truncation
+
+
+def test_upn_filter_multi_image_one_empty(rng):
+    """Deliberate fix of the reference's truncation bug
+    (inference_wrapper.py:209-210): an image with zero above-threshold
+    boxes must yield an EMPTY row, not drop all remaining images."""
+    upn = UPNWrapper.random_init(cfg=TINY_UPN, swin_cfg=TINY_SWIN)
+    nq = TINY_UPN.num_queries
+    boxes = rng.uniform(0, 64, (3, nq, 4)).astype(np.float32)
+    boxes[..., 2:] = boxes[..., :2] + 8  # valid xyxy
+    scores = np.full((3, nq, 1), 0.9, np.float32)
+    scores[1] = 0.01  # middle image: everything below threshold
+    det = upn.filter({"original_xyxy_boxes": boxes, "scores": scores},
+                     min_score=0.5, nms_value=0.8)
+    assert len(det["original_xyxy_boxes"]) == 3
+    assert len(det["original_xyxy_boxes"][0]) >= 1
+    assert det["original_xyxy_boxes"][1] == []
+    assert det["scores"][1] == []
+    assert len(det["original_xyxy_boxes"][2]) >= 1
 
 
 def test_upn_config_from_reference_config_dict(tmp_path):

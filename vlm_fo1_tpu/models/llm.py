@@ -311,9 +311,17 @@ def text_forward_ring(params, cfg: TextConfig, hidden, cos, sin, q_pos,
         x = x + nn.linear(lp["attn"]["o_proj"], attn.reshape(b, s, nh * hd))
         h = nn.rms_norm(lp["post_attention_layernorm"], x,
                         eps=cfg.rms_norm_eps)
-        x = x + nn.linear(lp["mlp"]["down_proj"],
-                          act(nn.linear(lp["mlp"]["gate_proj"], h))
-                          * nn.linear(lp["mlp"]["up_proj"], h))
+        if "fused_int4" in lp["mlp"]:
+            # Same dispatch as _layer: int4-mlp-quantized params carry a
+            # fused node instead of gate/up/down linears.
+            assert cfg.hidden_act == "silu"
+            from vlm_fo1_tpu.ops.int4_mlp import int4_mlp
+
+            x = x + int4_mlp(h, lp["mlp"]["fused_int4"])
+        else:
+            x = x + nn.linear(lp["mlp"]["down_proj"],
+                              act(nn.linear(lp["mlp"]["gate_proj"], h))
+                              * nn.linear(lp["mlp"]["up_proj"], h))
         return x, (k, v)
 
     x, (ks, vs) = jax.lax.scan(body, hidden, params["layers"])

@@ -69,7 +69,7 @@ def _kernel(x_ref, g_ref, u_ref, gs_ref, us_ref, d_ref, ds_ref, o_ref, *,
                          dot(h, dhi.astype(x.dtype))], axis=1)  # [TM, D]
     y = y * ds_ref[0][None, :]
 
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when(pl.program_id(1) == 0)
     def _():
         o_ref[:] = jnp.zeros_like(o_ref)
 
@@ -103,26 +103,30 @@ def int4_mlp_matmul(x: jnp.ndarray, node: dict,
     us2 = node["up_s"].reshape(1, i_dim)
     ds2 = node["down_s"].reshape(1, d)
 
+    # Grid: (M-tiles, I-tiles) — I iterates fastest so each row block
+    # accumulates over every I tile before the next row block starts
+    # (the ADVICE r3 fix: a 1-D I grid with x/out pinned to row block 0
+    # never touched rows >= tm when M > 128).
     out = pl.pallas_call(
         functools.partial(_kernel, dhalf=dhalf2),
-        grid=(i_dim // ti,),
+        grid=(mp // tm, i_dim // ti),
         in_specs=[
-            pl.BlockSpec((tm, d), lambda t: (0, 0),
+            pl.BlockSpec((tm, d), lambda i, t: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((dhalf2, ti), lambda t: (0, t),
+            pl.BlockSpec((dhalf2, ti), lambda i, t: (0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((dhalf2, ti), lambda t: (0, t),
+            pl.BlockSpec((dhalf2, ti), lambda i, t: (0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ti), lambda t: (0, t),
+            pl.BlockSpec((1, ti), lambda i, t: (0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ti), lambda t: (0, t),
+            pl.BlockSpec((1, ti), lambda i, t: (0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ti, d // 2), lambda t: (t, 0),
+            pl.BlockSpec((ti, d // 2), lambda i, t: (t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda t: (0, 0),
+            pl.BlockSpec((1, d), lambda i, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tm, d), lambda t: (0, 0),
+        out_specs=pl.BlockSpec((tm, d), lambda i, t: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((mp, d), jnp.float32),
         interpret=interpret,

@@ -36,7 +36,8 @@ def load_image(image_file) -> Image.Image:
     elif image_file.startswith(("http://", "https://")):
         import requests
 
-        response = requests.get(image_file)
+        # Timeout so a dead URL can't hang a serving prepare worker.
+        response = requests.get(image_file, timeout=30)
         image = Image.open(BytesIO(response.content)).convert("RGB")
     elif image_file.startswith("data:image/"):
         payload = image_file.split("base64,", 1)[-1]

@@ -259,8 +259,13 @@ def quantize_params_int4_mlp(params):
     -> the int8 paths of quantize_params(ALL_QUANT_PATTERNS). Speed-optimal
     decode; quantization error confined to the MLPs."""
     mlp = params["text"]["layers"]["mlp"]
+    # Eligibility must match the kernel's trace-time asserts
+    # (int4_mlp_matmul: i_dim % 128 == 0) or an odd intermediate size would
+    # quantize fine here and crash on the TPU path; ineligible models fall
+    # back to the plain int8 treatment of quantize_params below.
     if mlp["gate_proj"]["w"].shape[-2] % 2 == 0 \
-            and mlp["down_proj"]["w"].shape[-1] % 2 == 0:
+            and mlp["down_proj"]["w"].shape[-1] % 2 == 0 \
+            and mlp["gate_proj"]["w"].shape[-1] % 128 == 0:
         params["text"]["layers"]["mlp"] = quantize_mlp_int4(mlp)
     return quantize_params(params, ALL_QUANT_PATTERNS)
 

@@ -195,7 +195,15 @@ class UPNWrapper:
             boxes = boxes[keep]
             scores = scores[keep][:, 0]
             if len(boxes) == 0:
-                return filtered
+                # Deliberate fix of a reference bug: inference_wrapper.py
+                # :209-210 `return`s here mid-loop, silently dropping every
+                # REMAINING image's results when one image has no boxes
+                # above threshold. We emit empty lists for this image and
+                # keep going, so output row i always corresponds to input
+                # image i.
+                filtered["original_xyxy_boxes"].append([])
+                filtered["scores"].append([])
+                continue
             if nms_value > 0:
                 keep_idx = nms_numpy(boxes, scores, nms_value)
             else:
