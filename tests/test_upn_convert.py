@@ -1,5 +1,6 @@
 """UPN checkpoint converter round-trip: a fabricated torch .pth with the
-reference's exact key families (backbone.model.0.*, transformer.encoder/
+reference's key families (backbone.model.backbone.* as the real module
+tree nests it — verified in test_upn_oracle.py — plus transformer.encoder/
 decoder.*, input_proj.*, bbox_embed.*, prompt embeddings — the state dict
 the reference loads via checkpoint["model"], inference_wrapper.py:24-26)
 must load through UPNWrapper into the exact same pytree, and a renamed key
@@ -54,8 +55,8 @@ def params_to_reference_sd(params, cfg: UPNConfig, swin_cfg: SwinConfig):
     """Inverse of upn/convert.py: JAX pytree -> reference-keyed state dict."""
     sd = {}
 
-    # ---- Swin under the Joiner prefix (backbone.model.0.*)
-    bp = "backbone.model.0"
+    # ---- Swin under the Joiner prefix (backbone.model.backbone.*)
+    bp = "backbone.model.backbone"
     swin = params["backbone"]
     sd[f"{bp}.patch_embed.proj.weight"] = np.asarray(
         swin["patch_embed"]["proj"]["w"])

@@ -1,0 +1,324 @@
+"""Swin + composed-UPN full-forward oracles against the reference torch
+implementation imported straight from /root/reference/detect_tools/upn with
+its heavy deps stubbed (mmengine registry, torchvision._is_tracing, timm
+layers, and the CUDA MSDeformAttn ext routed to the reference's own
+pure-PyTorch `ms_deform_attn_core_pytorch`,
+ops/functions/ms_deform_attn_func.py:41-61).
+
+Closes the r3 verdict's #2 gap: upn/swin.py and upn_forward were verified by
+submodule numpy-port oracles only; here the COMPOSED forwards (Swin
+forward_raw; UPN backbone->encoder->two-stage->decoder->heads) are checked
+end-to-end through the repo's real converters (upn/convert.py), so the
+checkpoint key maps are oracled against genuine reference module trees
+instead of fabricated ones.
+"""
+
+import importlib.machinery
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+_REF_ROOT = "/root/reference"
+
+
+# ------------------------------------------------------------------ stubs
+
+def _ensure_timm_stub():
+    if "timm.models.layers" in sys.modules:
+        layers = sys.modules["timm.models.layers"]
+    else:
+        class DropPath(torch.nn.Module):
+            def __init__(self, drop_prob=0.0):
+                super().__init__()
+                self.drop_prob = drop_prob
+
+            def forward(self, x):
+                return x
+
+        def trunc_normal_(tensor, mean=0.0, std=1.0, a=-2.0, b=2.0):
+            with torch.no_grad():
+                tensor.normal_(mean, std).clamp_(min=a * std, max=b * std)
+            return tensor
+
+        timm = types.ModuleType("timm")
+        models = types.ModuleType("timm.models")
+        layers = types.ModuleType("timm.models.layers")
+        layers.DropPath = DropPath
+        layers.trunc_normal_ = trunc_normal_
+        models.layers = layers
+        timm.models = models
+        for m in (timm, models, layers):
+            m.__spec__ = importlib.machinery.ModuleSpec(m.__name__,
+                                                        loader=None)
+        sys.modules["timm"] = timm
+        sys.modules["timm.models"] = models
+        sys.modules["timm.models.layers"] = layers
+    if not hasattr(layers, "to_2tuple"):
+        layers.to_2tuple = lambda v: v if isinstance(v, tuple) else (v, v)
+
+
+def _ensure_mmengine_stub():
+    if "mmengine" in sys.modules:
+        return
+
+    class Registry:
+        def __init__(self, name):
+            self.name = name
+            self._modules = {}
+
+        def register_module(self, name=None, module=None):
+            if module is not None:
+                self._modules[name or module.__name__] = module
+                return module
+
+            def deco(cls):
+                self._modules[name or cls.__name__] = cls
+                return cls
+
+            return deco
+
+        def get(self, key):
+            return self._modules[key]
+
+    def build_from_cfg(cfg, registry, default_args=None):
+        cfg = dict(cfg)
+        t = cfg.pop("type")
+        cls = registry.get(t) if isinstance(t, str) else t
+        if default_args:
+            cfg = {**default_args, **cfg}
+        return cls(**cfg)
+
+    class Config(dict):
+        @staticmethod
+        def fromfile(path):  # pragma: no cover - never used in tests
+            raise NotImplementedError
+
+    mm = types.ModuleType("mmengine")
+    mm.Registry = Registry
+    mm.build_from_cfg = build_from_cfg
+    mm.Config = Config
+    mm.__spec__ = importlib.machinery.ModuleSpec("mmengine", loader=None)
+    sys.modules["mmengine"] = mm
+
+
+def _ensure_torchvision_stub():
+    if "torchvision" in sys.modules:
+        return
+    tv = types.ModuleType("torchvision")
+    tv._is_tracing = lambda: False
+    ops = types.ModuleType("torchvision.ops")
+
+    def nms(*a, **k):  # pragma: no cover - wrapper API only, not exercised
+        raise NotImplementedError("torchvision stub")
+
+    ops.nms = nms
+    tv.ops = ops
+    transforms = types.ModuleType("torchvision.transforms")
+    functional = types.ModuleType("torchvision.transforms.functional")
+    transforms.functional = functional
+    tv.transforms = transforms
+    for m in (tv, ops, transforms, functional):
+        m.__spec__ = importlib.machinery.ModuleSpec(m.__name__, loader=None)
+        m.__path__ = []  # mark as package so submodule imports resolve
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.ops"] = ops
+    sys.modules["torchvision.transforms"] = transforms
+    sys.modules["torchvision.transforms.functional"] = functional
+
+
+def _ensure_msda_ext_stub():
+    """The C ext module the reference autograd binding imports; route its
+    forward to the reference's pure-PyTorch core (grid_sample semantics)."""
+    if "MultiScaleDeformableAttention" in sys.modules:
+        return
+    ext = types.ModuleType("MultiScaleDeformableAttention")
+
+    def ms_deform_attn_forward(value, shapes, level_start_index,
+                               sampling_locations, attention_weights,
+                               im2col_step):
+        from detect_tools.upn.ops.functions.ms_deform_attn_func import (
+            ms_deform_attn_core_pytorch,
+        )
+
+        return ms_deform_attn_core_pytorch(value, shapes,
+                                           sampling_locations,
+                                           attention_weights)
+
+    ext.ms_deform_attn_forward = ms_deform_attn_forward
+    ext.__spec__ = importlib.machinery.ModuleSpec(
+        "MultiScaleDeformableAttention", loader=None)
+    sys.modules["MultiScaleDeformableAttention"] = ext
+
+
+def _import_reference_upn():
+    _ensure_timm_stub()
+    _ensure_mmengine_stub()
+    _ensure_torchvision_stub()
+    _ensure_msda_ext_stub()
+    if _REF_ROOT not in sys.path:
+        sys.path.insert(0, _REF_ROOT)
+    import detect_tools.upn as ref_upn  # noqa: F401
+
+    return ref_upn
+
+
+# ------------------------------------------------------------ tiny configs
+
+TINY_SWIN_KW = dict(embed_dim=16, depths=(2, 2, 2, 2),
+                    num_heads=(2, 4, 8, 16), window_size=4)
+
+
+def _tiny_swin_cfg():
+    from vlm_fo1_tpu.upn.swin import SwinConfig
+
+    return SwinConfig(**TINY_SWIN_KW)
+
+
+def _tiny_upn_model_cfg():
+    """Reference-style declarative config (configs/upn_large.py shape) at
+    mini scale: 2 enc + 2 dec layers, 60 queries, tiny Swin. d_model must
+    stay 256 — the reference decoder hardcodes 512-dim box sine embeds
+    (gen_sineembed_for_position, detr_utils.py:280; upn_decoder.py:306
+    branches on shape[-1]==512 and its ref_point_head breaks otherwise)."""
+    d, heads, levels, ffn = 256, 8, 5, 64
+    layer = dict(activation="relu", d_model=d, dropout=0.0, d_ffn=ffn,
+                 n_heads=heads, n_levels=levels)
+    transformer_cfg = dict(
+        type="DeformableTransformer",
+        num_queries=60,
+        d_model=d,
+        encoder_cfg=dict(
+            type="UPNEncoder",
+            encoder_layer_cfg=dict(type="DeformableTransformerEncoderLayer",
+                                   **layer),
+            d_model=d, num_layers=2,
+            use_checkpoint=False, use_transformer_ckpt=False),
+        decoder_cfg=dict(
+            type="UPNDecoder",
+            decoder_layer_cfg=dict(type="DeformableTransformerDecoderLayer",
+                                   **layer),
+            d_model=d, return_intermediate=True, num_layers=2,
+            rm_dec_query_scale=True, use_detached_boxes_dec_out=False),
+        learnable_tgt_init=True, random_refpoints_xy=False,
+        num_feature_levels=levels,
+        two_stage_bbox_embed_share=False, two_stage_class_embed_share=False,
+        two_stage_keep_all_tokens=False, two_stage_learn_wh=False,
+        two_stage_type="standard", binary_query_selection=False)
+    vision_backbone = dict(
+        type="SwinWrapper",
+        backbone_cfg=dict(type="SwinTransformer", drop_path_rate=0.0,
+                          out_indices=(0, 1, 2, 3), **TINY_SWIN_KW),
+        lr_backbone=1e-05, dilation=False,
+        return_interm_indices=[0, 1, 2, 3],
+        backbone_freeze_keywords=None, backbone_ckpt_path=None,
+        use_checkpoint=False,
+        position_embedding_cfg=dict(type="PositionEmbeddingSineHW",
+                                    normalize=True, num_pos_feats=d // 2,
+                                    temperatureH=20, temperatureW=20))
+    return dict(type="UPN", vision_backbone_cfg=vision_backbone,
+                transformer_cfg=transformer_cfg, num_queries=60,
+                dec_pred_bbox_embed_share=True,
+                dec_pred_class_embed_share=True)
+
+
+# ------------------------------------------------------------------ tests
+
+@pytest.mark.parametrize("hw", [(64, 96), (72, 104)])
+def test_swin_forward_matches_reference_torch(rng, hw):
+    """Our swin_forward vs the reference SwinTransformer.forward_raw
+    (backbone/swin.py:680-713) through upn/convert.convert_swin. The
+    72x104 case makes stage maps odd (18x26 -> 9x13 -> 5x7 -> 3x4), hitting
+    window padding, shifted-window masks, and odd patch merging."""
+    ref_upn = _import_reference_upn()
+    from vlm_fo1_tpu.upn.convert import convert_swin
+    from vlm_fo1_tpu.upn.swin import swin_forward
+
+    cfg = _tiny_swin_cfg()
+    torch.manual_seed(0)
+    model = ref_upn.models.backbone.SwinTransformer(
+        embed_dim=cfg.embed_dim, depths=list(cfg.depths),
+        num_heads=list(cfg.num_heads), window_size=cfg.window_size,
+        drop_path_rate=0.0, out_indices=(0, 1, 2, 3))
+    model.eval()  # reference train() override returns None — don't chain
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()
+          if "relative_position_index" not in k and "attn_mask" not in k}
+    params = convert_swin(sd, cfg)
+
+    h, w = hw
+    img = rng.standard_normal((1, 3, h, w)).astype(np.float32)
+    with torch.no_grad():
+        want = model.forward_raw(torch.from_numpy(img))
+    got = swin_forward(params, cfg, jnp.asarray(img.transpose(0, 2, 3, 1)))
+    assert len(got) == len(want) == 4
+    for i, (g, wv) in enumerate(zip(got, want)):
+        wv = wv.numpy().transpose(0, 2, 3, 1)
+        g = np.asarray(g, np.float32)
+        assert g.shape == wv.shape, (i, g.shape, wv.shape)
+        scale = max(np.abs(wv).max(), 1e-6)
+        np.testing.assert_allclose(g / scale, wv / scale, rtol=0, atol=3e-5,
+                                   err_msg=f"stage {i}")
+
+
+@pytest.mark.parametrize("prompt", ["fine_grained_prompt",
+                                    "coarse_grained_prompt"])
+def test_upn_composed_forward_matches_reference_torch(rng, prompt):
+    """Composed mini-UPN parity: the reference UPN (built through its own
+    registry machinery from a tiny config, MSDeformAttn running the
+    reference's grid_sample core) vs our upn_forward, weights shared via
+    upn/convert.convert_upn. Batch of 2 with one padded image whose valid
+    region is stride-aligned (64x96 in a 128x128 pad), so the reference's
+    nearest-interpolated level masks equal our ceil(valid/stride) ones and
+    parity is exact."""
+    ref_upn = _import_reference_upn()
+    from detect_tools.upn.models.module import NestedTensor
+
+    from vlm_fo1_tpu.upn.convert import convert_upn
+    from vlm_fo1_tpu.upn.model import UPNConfig, upn_forward
+
+    torch.manual_seed(1)
+    model = ref_upn.build_architecture(_tiny_upn_model_cfg())
+    model.eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()
+          if "relative_position_index" not in k and "attn_mask" not in k
+          and "label_enc" not in k}
+
+    cfg = UPNConfig(d_model=256, n_heads=8, n_points=4, num_feature_levels=5,
+                    num_encoder_layers=2, num_decoder_layers=2, d_ffn=64,
+                    num_queries=60, pos_feats=128)
+    swin_cfg = _tiny_swin_cfg()
+    params = convert_upn(sd, cfg, swin_cfg)
+
+    b, hp, wp = 2, 128, 128
+    valid = [(hp, wp), (64, 96)]
+    imgs = rng.standard_normal((b, 3, hp, wp)).astype(np.float32)
+    mask = np.ones((b, hp, wp), bool)
+    for i, (vh, vw) in enumerate(valid):
+        imgs[i, :, vh:, :] = 0.0
+        imgs[i, :, :, vw:] = 0.0
+        mask[i, :vh, :vw] = False
+
+    with torch.no_grad():
+        want = model(NestedTensor(torch.from_numpy(imgs),
+                                  torch.from_numpy(mask)), prompt)
+
+    got = upn_forward(params, cfg, swin_cfg,
+                      jnp.asarray(imgs.transpose(0, 2, 3, 1)),
+                      jnp.asarray([[vh, vw] for vh, vw in valid], np.int32),
+                      prompt=prompt)
+
+    want_boxes = want["pred_boxes"].numpy()
+    want_logits = want["pred_logits"].numpy()
+    got_boxes = np.asarray(got["pred_boxes"], np.float32)
+    got_logits = np.asarray(got["pred_logits"], np.float32)
+    assert got_boxes.shape == want_boxes.shape
+    assert got_logits.shape == want_logits.shape
+    np.testing.assert_allclose(got_boxes, want_boxes, rtol=0, atol=2e-4)
+    scale = max(np.abs(want_logits).max(), 1e-6)
+    np.testing.assert_allclose(got_logits / scale, want_logits / scale,
+                               rtol=0, atol=2e-4)

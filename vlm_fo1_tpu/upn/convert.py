@@ -74,12 +74,20 @@ def _msda(sd, prefix, cfg):
 
 
 def convert_upn(sd: dict, cfg: UPNConfig, swin_cfg: SwinConfig) -> dict:
-    """sd: flat state dict of the whole UPN model (numpy arrays)."""
-    swin_sd = {k[len("backbone.model.0."):]: v for k, v in sd.items()
-               if k.startswith("backbone.model.0.")}
-    if not swin_sd:  # alternative prefix (no Joiner indexing)
-        swin_sd = {k[len("backbone.0.body."):]: v for k, v in sd.items()
-                   if k.startswith("backbone.0.body.")}
+    """sd: flat state dict of the whole UPN model (numpy arrays).
+
+    The Swin lives under `backbone.model.backbone.` in the reference module
+    tree (SwinWrapper.model = Joiner whose named attr is `backbone`,
+    wrapper.py:64-75,207 — verified by instantiating the reference UPN in
+    test_upn_oracle.py); older DETR-style `backbone.0.body.` and indexed
+    `backbone.model.0.` layouts are accepted as fallbacks."""
+    swin_sd = {}
+    for prefix in ("backbone.model.backbone.", "backbone.model.0.",
+                   "backbone.0.body."):
+        swin_sd = {k[len(prefix):]: v for k, v in sd.items()
+                   if k.startswith(prefix)}
+        if swin_sd:
+            break
 
     input_proj = []
     for l in range(cfg.num_feature_levels):
