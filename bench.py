@@ -42,6 +42,58 @@ def _enable_compile_cache():
         pass
 
 
+def _upn_stage_split(upn_w, arr, nhw, iters=3):
+    """Backbone / glue+two-stage / encoder / decoder wall-time split via
+    layer slicing (same method as tools/profile_upn.py): time the forward
+    with enc=dec=0, enc-only, and full, plus the Swin alone; differences
+    attribute the stages. Adds 3 extra compiles (persistent-cached)."""
+    import time
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from vlm_fo1_tpu.upn.model import upn_forward
+    from vlm_fo1_tpu.upn.swin import swin_forward
+    from vlm_fo1_tpu.upn.wrapper import IMAGENET_MEAN, IMAGENET_STD
+
+    padded = upn_w._pad_to_bucket(arr)
+    norm = (padded.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    image = jnp.asarray(norm[None]).astype(jnp.bfloat16)
+    valid_hw = jnp.asarray([list(nhw)], np.int32)
+
+    @partial(jax.jit, static_argnames=("ne", "nd"))
+    def fwd(params, image, valid_hw, ne, nd):
+        p = dict(params)
+        p["encoder"] = params["encoder"][:ne]
+        p["decoder"] = dict(params["decoder"])
+        p["decoder"]["layers"] = params["decoder"]["layers"][:nd]
+        return upn_forward(p, upn_w.cfg, upn_w.swin_cfg, image, valid_hw,
+                           "fine_grained_prompt")
+
+    swin = jax.jit(lambda p, x: swin_forward(p, upn_w.swin_cfg, x))
+    ne, nd = upn_w.cfg.num_encoder_layers, upn_w.cfg.num_decoder_layers
+
+    def t(fn, *a):
+        jax.block_until_ready(fn(*a))  # compile
+        ts = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(*a))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t_swin = t(swin, upn_w.params["backbone"], image)
+    t_e0d0 = t(fwd, upn_w.params, image, valid_hw, 0, 0)
+    t_encf = t(fwd, upn_w.params, image, valid_hw, ne, 0)
+    t_full = t(fwd, upn_w.params, image, valid_hw, ne, nd)
+    return {"backbone": round(t_swin, 4),
+            "glue_two_stage": round(max(t_e0d0 - t_swin, 0.0), 4),
+            "encoder": round(max(t_encf - t_e0d0, 0.0), 4),
+            "decoder": round(max(t_full - t_encf, 0.0), 4),
+            "device_total": round(t_full, 4)}
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -248,7 +300,11 @@ def main():
                 sweeps.append(round(n_req / (time.time() - t0), 4))
             serving = {"batch": sbatch,
                        "pipelined_requests": n_req,
+                       # best-of-sweeps is the software's steady state on a
+                       # one-sided-noise shared chip; the median is reported
+                       # alongside so the spread is visible in the artifact
                        "img_s": max(sweeps),
+                       "img_s_median": round(float(np.median(sweeps)), 4),
                        "img_s_sweeps": sweeps,
                        "p50_latency_s": round(float(np.percentile(blat, 50)),
                                               4)}
@@ -256,6 +312,46 @@ def main():
             serving = {"error": str(e)[:120]}
 
     prompt_len = int(r.prompt_len)
+
+    # ---- MFU / roofline accounting (runtime/flops.py): analytic per-stage
+    # FLOPs over the measured stage times -> achieved TFLOP/s and MFU vs the
+    # v5e bf16 peak (197 TFLOP/s; int8-weight modes still run bf16 MACs).
+    mfu = None
+    try:
+        from PIL import Image
+
+        from vlm_fo1_tpu.preprocess.image import smart_resize
+        from vlm_fo1_tpu.runtime import flops as _F
+
+        if isinstance(img_path, str):
+            with Image.open(img_path) as _im:
+                iw, ih = _im.size
+        else:
+            iw, ih = img_path.size
+        h_bar, w_bar = smart_resize(ih, iw, factor=28,
+                                    max_pixels=max_pixels)
+        gh, gw = h_bar // 14, w_bar // 14
+        n_boxes = len(bbox_list)
+        st = timer.report()
+        e_f = _F.encode_flops(cfg, gh, gw, n_boxes)
+        p_f = _F.prefill_flops(cfg.text, prompt_len)
+        d_f = _F.decode_flops(cfg.text, decode_tokens, prompt_len)
+        stages = {}
+        if st.get("encode"):
+            stages["encode"] = (e_f, st["encode"])
+        if st.get("prefill"):
+            stages["prefill"] = (p_f, st["prefill"])
+        if st.get("decode"):
+            stages["decode"] = (d_f, st["decode"])
+        mfu = _F.mfu_report(stages)
+        mfu["request_gflops"] = round((e_f + p_f + d_f) / 1e9, 1)
+        if serving and "img_s" in serving:
+            # serving throughput x per-request FLOPs = sustained TFLOP/s
+            sus = (e_f + p_f + d_f) * serving["img_s"]
+            mfu["serving"] = {"tflop_s": round(sus / 1e12, 2),
+                              "mfu": round(sus / _F.V5E_BF16_PEAK, 4)}
+    except Exception as e:  # accounting must never sink the bench
+        mfu = {"error": str(e)[:120]}
 
     # UPN proposal generation (reference scripts/run_upn.py:1-16 as the
     # workload: demo image at the 800/1333 transform). First-class entry
@@ -292,11 +388,28 @@ def main():
                 ulat.append(time.time() - t0)
             up50 = float(np.percentile(ulat, 50))
             arr, (nh, nw) = upn_w.transform_image(img)
+            bucket = list(upn_w._pad_to_bucket(arr).shape[:2])
             upn = {"img_s": round(1.0 / up50, 4),
                    "p50_s": round(up50, 4),
                    "input_hw": [nh, nw],
-                   "bucket_hw": list(upn_w._pad_to_bucket(arr).shape[:2]),
+                   "bucket_hw": bucket,
                    "compile_s": round(upn_compile_s, 1)}
+            try:
+                from vlm_fo1_tpu.runtime import flops as _F
+
+                uf = _F.upn_flops(upn_w.cfg, upn_w.swin_cfg, *bucket)
+                upn["gflops"] = round(uf / 1e9, 1)
+                upn["tflop_s"] = round(uf / up50 / 1e12, 2)
+                upn["mfu"] = round(uf / up50 / _F.V5E_BF16_PEAK, 4)
+            except Exception:
+                pass
+            if os.environ.get("BENCH_UPN_STAGES", "1") == "1":
+                # stage split via layer slicing (tools/profile_upn.py
+                # machinery): backbone / glue+two-stage / encoder / decoder
+                try:
+                    upn["stage_s"] = _upn_stage_split(upn_w, arr, (nh, nw))
+                except Exception as e:
+                    upn["stage_s"] = {"error": str(e)[:120]}
         except Exception as e:
             upn = {"error": str(e)[:160]}
 
@@ -319,6 +432,13 @@ def main():
         "upn_img_s": (upn or {}).get("img_s"),
         "upn": upn,
         "decode_tokens": decode_tokens,
+        # single-stream decode rate from the profiled pass; batch-serving
+        # aggregate rate = requests/s x tokens/request
+        "decode_tok_s": (round(decode_tokens / timer.report()["decode"], 1)
+                         if timer.report().get("decode") else None),
+        "serving_decode_tok_s": (round(headline * decode_tokens, 1)
+                                 if serving and "img_s" in serving else None),
+        "mfu": mfu,
         "max_pixels": max_pixels,
         "prompt_len": prompt_len,
         "batch": batch,

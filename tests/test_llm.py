@@ -209,3 +209,77 @@ def test_decode_stops_at_eos(hf_model, rng):
     assert int(steps) == 1
     assert int(np.asarray(tokens)[0, 0]) == eos
     assert (np.asarray(tokens)[0, 1:] == 0).all()
+
+
+def test_batched_decode_early_exit_and_per_row_padding(hf_model, rng):
+    """Batched decode must (a) stop the while_loop well before
+    max_new_tokens when every row hits EOS early (decode_loop cond,
+    runtime/generate.py:159-161), and (b) pad each row after ITS OWN EOS
+    even when other rows keep generating — the long-decode serving
+    property (VERDICT r3 #7)."""
+    params = _params(hf_model)
+    b, s, max_new = 4, 6, 24
+    ids = rng.integers(0, CFG.vocab_size, size=(1, s))
+    ids = np.repeat(ids, b, axis=0)           # identical rows
+    pos, deltas = get_rope_index(ids, None)
+    sp = pad_to_bucket(s, 8)
+    emb = jnp.zeros((b, sp, CFG.hidden_size)).at[:, :s].set(
+        llm.embed_tokens(params, jnp.asarray(ids)))
+    posp = np.zeros((3, b, sp), np.int32)
+    posp[:, :, :s] = pos
+
+    def run(eos):
+        cache, logits = prefill(params, CFG, emb, jnp.asarray(posp),
+                                jnp.asarray([s] * b),
+                                cache_len=sp + max_new)
+        gen_cfg = GenerationConfig(max_new_tokens=max_new, temperature=0.0,
+                                   eos_token_id=eos, pad_token_id=0)
+        tokens, steps, _ = decode_loop(params, CFG, gen_cfg, cache, logits,
+                                       jnp.asarray([s] * b),
+                                       jnp.asarray(deltas[:, 0]),
+                                       jax.random.PRNGKey(0),
+                                       prompt_pad=sp)
+        return np.asarray(tokens), int(steps)
+
+    free, n_free = run(eos=-7)
+    assert n_free == max_new
+    # all identical rows -> identical streams
+    for i in range(1, b):
+        np.testing.assert_array_equal(free[i], free[0])
+
+    # (a) every row hits EOS at step 3 -> the loop exits at 4, not max_new
+    eos = int(free[0, 3])
+    k = int(np.argmax(free[0] == eos))  # first occurrence (may be < 3)
+    tokens, steps = run(eos=eos)
+    assert steps == k + 1 < max_new
+    np.testing.assert_array_equal(tokens[:, :k + 1], free[:, :k + 1])
+    assert (tokens[:, k + 1:] == 0).all()
+
+    # (b) ragged completion: row 3 gets a different prompt so rows finish
+    # at different times (or row 3 never finishes); finished rows pad
+    ids2 = ids.copy()
+    ids2[3] = rng.integers(0, CFG.vocab_size, size=(s,))
+    pos2, deltas2 = get_rope_index(ids2, None)
+    emb2 = jnp.zeros((b, sp, CFG.hidden_size)).at[:, :s].set(
+        llm.embed_tokens(params, jnp.asarray(ids2)))
+    posp2 = np.zeros((3, b, sp), np.int32)
+    posp2[:, :, :s] = pos2
+    cache, logits = prefill(params, CFG, emb2, jnp.asarray(posp2),
+                            jnp.asarray([s] * b), cache_len=sp + max_new)
+    gen_cfg = GenerationConfig(max_new_tokens=max_new, temperature=0.0,
+                               eos_token_id=eos, pad_token_id=0)
+    tokens2, steps2, _ = decode_loop(params, CFG, gen_cfg, cache, logits,
+                                     jnp.asarray([s] * b),
+                                     jnp.asarray(deltas2[:, 0]),
+                                     jax.random.PRNGKey(0), prompt_pad=sp)
+    tokens2 = np.asarray(tokens2)
+    # rows 0-2 stopped at k; everything after is padding for them
+    np.testing.assert_array_equal(tokens2[:3, :k + 1], free[:3, :k + 1])
+    assert (tokens2[:3, k + 1:] == 0).all()
+    # row 3 decodes past rows 0-2's stop iff it didn't emit eos first
+    row3 = tokens2[3]
+    if eos in row3.tolist():
+        j = row3.tolist().index(eos)
+        assert (row3[j + 1:] == 0).all()
+    else:
+        assert int(steps2) == max_new
