@@ -358,7 +358,8 @@ class FO1Model:
     # ------------------------------------------------------ host pipeline
 
     def prepare(self, messages: list[dict], max_pixels: int | None = None,
-                device_preproc: bool = False):
+                device_preproc: bool = False,
+                geometry_factor: int | None = None):
         """Host-side preparation mirroring prepare_inputs
         (reference mm_utils.py:530-655). Returns everything the device
         programs need.
@@ -419,7 +420,8 @@ class FO1Model:
                     m, patch_size=cfg.vision.patch_size,
                     merge_size=cfg.vision.spatial_merge_size,
                     min_pixels=cfg.min_pixels,
-                    max_pixels=max_pixels or cfg.max_pixels)
+                    max_pixels=max_pixels or cfg.max_pixels,
+                    round_factor=geometry_factor)
                 pv = None
                 slot_ids.append(cfg.image_token_id)
             else:
@@ -429,7 +431,8 @@ class FO1Model:
                     m, patch_size=cfg.vision.patch_size,
                     merge_size=cfg.vision.spatial_merge_size,
                     min_pixels=cfg.min_pixels,
-                    max_pixels=max_pixels or cfg.max_pixels)
+                    max_pixels=max_pixels or cfg.max_pixels,
+                    round_factor=geometry_factor)
                 slot_ids.append(cfg.image_token_id)
             pvs.append(pv)
             grids.append(grid)

@@ -149,6 +149,7 @@ def qwen_image_preprocess(
     temporal_patch_size: int = 2,
     min_pixels: int = 56 * 56,
     max_pixels: int = 2048 * 2048,
+    round_factor: int | None = None,
 ):
     """Smart-resize + patchify to Qwen2-VL `pixel_values`.
 
@@ -157,8 +158,16 @@ def qwen_image_preprocess(
             ordered (h_block, w_block, merge_h, merge_w) — one row per patch.
         grid_thw: (1, grid_h, grid_w)
     """
+    factor = patch_size * merge_size
+    if round_factor:
+        # geometry ladder for mixed-size serving: snapping dims to a
+        # coarser multiple collapses nearby image sizes onto a small set
+        # of grids so fused batches can form across them (slightly more
+        # aspect distortion than the reference's 28px rounding)
+        assert round_factor % factor == 0, (round_factor, factor)
+        factor = round_factor
     h_bar, w_bar = smart_resize(
-        image.height, image.width, factor=patch_size * merge_size,
+        image.height, image.width, factor=factor,
         min_pixels=min_pixels, max_pixels=max_pixels)
     img = image.resize((w_bar, h_bar), Image.Resampling.BICUBIC)
     raw = np.asarray(img, np.uint8)
@@ -268,12 +277,21 @@ def qwen_image_patchify_u8(
     temporal_patch_size: int = 2,
     min_pixels: int = 56 * 56,
     max_pixels: int = 2048 * 2048,
+    round_factor: int | None = None,
 ):
     """qwen_image_preprocess without the normalize: returns uint8
     pixel_values [grid_h*grid_w, C*T*p*p] in the same row layout, plus
     grid_thw. Normalize on device with qwen_patch_norm_vectors."""
+    factor = patch_size * merge_size
+    if round_factor:
+        # geometry ladder for mixed-size serving: snapping dims to a
+        # coarser multiple collapses nearby image sizes onto a small set
+        # of grids so fused batches can form across them (slightly more
+        # aspect distortion than the reference's 28px rounding)
+        assert round_factor % factor == 0, (round_factor, factor)
+        factor = round_factor
     h_bar, w_bar = smart_resize(
-        image.height, image.width, factor=patch_size * merge_size,
+        image.height, image.width, factor=factor,
         min_pixels=min_pixels, max_pixels=max_pixels)
     img = image.resize((w_bar, h_bar), Image.Resampling.BICUBIC)
     raw = np.asarray(img, np.uint8)
@@ -305,6 +323,7 @@ def qwen_image_raw_u8(
     merge_size: int = 2,
     min_pixels: int = 56 * 56,
     max_pixels: int = 2048 * 2048,
+    round_factor: int | None = None,
 ):
     """Smart-resize ONLY: returns (raw uint8 [h_bar, w_bar, C], grid_thw).
 
@@ -313,8 +332,16 @@ def qwen_image_raw_u8(
     run on device (models/fo1.py _device_preproc_batched). ~5x fewer bytes
     than uint8 pixel_values + a separate 768^2 aux image on the tunneled
     link (patch rows duplicate each pixel temporal_patch_size times)."""
+    factor = patch_size * merge_size
+    if round_factor:
+        # geometry ladder for mixed-size serving: snapping dims to a
+        # coarser multiple collapses nearby image sizes onto a small set
+        # of grids so fused batches can form across them (slightly more
+        # aspect distortion than the reference's 28px rounding)
+        assert round_factor % factor == 0, (round_factor, factor)
+        factor = round_factor
     h_bar, w_bar = smart_resize(
-        image.height, image.width, factor=patch_size * merge_size,
+        image.height, image.width, factor=factor,
         min_pixels=min_pixels, max_pixels=max_pixels)
     img = image.resize((w_bar, h_bar), Image.Resampling.BICUBIC)
     raw = np.asarray(img, np.uint8)

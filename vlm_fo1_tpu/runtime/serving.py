@@ -42,6 +42,19 @@ class ServingOptions:
     # exact; the DaViT aux input is one resampling generation removed from
     # the reference chain (device bicubic of the smart-resized image).
     device_preproc: bool = True
+    # Mixed-geometry traffic: group prepared requests by image grid so the
+    # fused single-program path (FO1Model._fusable needs one shared grid per
+    # batch) still forms batches under real mixed-size streams. Grouping
+    # may reorder completions; run() reassembles input order.
+    geometry_group: bool = True
+    # Coarser smart-resize rounding (px, multiple of 28; None = reference
+    # 28px). 112 collapses COCO-like size variety onto a handful of grids
+    # so grouped batches actually fill.
+    geometry_factor: int | None = None
+    # With geometry_group: launch the largest partial bucket once this many
+    # prepared requests are buffered (bounds latency/memory under high grid
+    # diversity).
+    max_buffered_batches: int = 4
 
 
 @dataclass
@@ -61,6 +74,10 @@ class ServingPipeline:
     def __init__(self, model, options: ServingOptions | None = None):
         self.model = model
         self.opts = options or ServingOptions()
+        # populated per run: batches / fused_batches / partial_batches /
+        # grids — lets benches and operators SEE when traffic falls off the
+        # fused path instead of silently paying per-item encodes
+        self.stats: dict = {}
 
     def run(self, messages_list: list[list[dict]]) -> list:
         results: list = [None] * len(messages_list)
@@ -69,8 +86,30 @@ class ServingPipeline:
         return results
 
     def run_stream(self, messages_iter: Iterable[list[dict]]):
-        """Generator variant: yields (index, GenerationResult) in submission
-        order while later requests are still being prepared/executed."""
+        """Generator variant: yields (index, GenerationResult) while later
+        requests are still being prepared/executed. FIFO mode yields in
+        submission order; geometry_group mode may reorder across grids
+        (run() reassembles by index)."""
+        self.stats = {"requests": 0, "batches": 0, "fused_batches": 0,
+                      "partial_batches": 0, "grids": {}}
+        if self.opts.geometry_group:
+            yield from self._run_stream_grouped(messages_iter)
+        else:
+            yield from self._run_stream_fifo(messages_iter)
+
+    def _record_launch(self, preps) -> None:
+        st = self.stats
+        st["batches"] += 1
+        st["requests"] += len(preps)
+        if self.model._fusable(preps):
+            st["fused_batches"] += 1
+        if len(preps) < self.opts.batch_size:
+            st["partial_batches"] += 1
+        for p in preps:
+            key = "x".join(str(int(g)) for g in p["grid"])
+            st["grids"][key] = st["grids"].get(key, 0) + 1
+
+    def _run_stream_fifo(self, messages_iter: Iterable[list[dict]]):
         from collections import deque
 
         opts = self.opts
@@ -99,7 +138,8 @@ class ServingPipeline:
                     idxs.append(i)
                     futs.append(pool.submit(
                         self.model.prepare, msgs, max_pixels=opts.max_pixels,
-                        device_preproc=opts.device_preproc))
+                        device_preproc=opts.device_preproc,
+                        geometry_factor=opts.geometry_factor))
                 if idxs:
                     pending.append((idxs, futs))
 
@@ -109,6 +149,7 @@ class ServingPipeline:
                 while pending and len(in_flight) <= opts.max_in_flight:
                     idxs, futs = pending.popleft()
                     preps = [f.result() for f in futs]
+                    self._record_launch(preps)
                     handle = self.model.launch_batch(
                         preps, max_new_tokens=opts.max_new_tokens,
                         temperature=opts.temperature, top_p=opts.top_p,
@@ -120,6 +161,98 @@ class ServingPipeline:
                 for i, r in zip(launched.indices,
                                 self.model.finish_batch(launched.handle)):
                     yield i, r
+
+    def _run_stream_grouped(self, messages_iter: Iterable[list[dict]]):
+        """Geometry-grouped scheduling: prepared requests bucket by image
+        grid; a bucket launches when it fills to batch_size. When
+        max_buffered_batches * batch_size requests are buffered without a
+        full bucket (high grid diversity), the largest bucket launches
+        partial — bounded buffering, no silent per-item fallback: every
+        launch is recorded in self.stats."""
+        from collections import deque
+
+        opts = self.opts
+        it = enumerate(messages_iter)
+        target = opts.batch_size * (opts.max_in_flight + 2)
+        max_buffered = opts.batch_size * opts.max_buffered_batches
+
+        with ThreadPoolExecutor(max_workers=opts.prepare_workers) as pool:
+            futs: deque = deque()       # (index, future) in submit order
+            buckets: dict = {}          # grid key -> list[(index, prep)]
+            in_flight: deque = deque()
+            done = False
+
+            def pump():
+                nonlocal done
+                while not done and len(futs) < target:
+                    try:
+                        i, msgs = next(it)
+                    except StopIteration:
+                        done = True
+                        return
+                    futs.append((i, pool.submit(
+                        self.model.prepare, msgs, max_pixels=opts.max_pixels,
+                        device_preproc=opts.device_preproc,
+                        geometry_factor=opts.geometry_factor)))
+
+            def drain(block: bool) -> bool:
+                """Move resolved futures into buckets; with block=True,
+                wait for the head future. Returns True if any moved."""
+                moved = False
+                while futs and (futs[0][1].done() or (block and not moved)):
+                    i, f = futs.popleft()
+                    prep = f.result()
+                    key = tuple(int(g) for g in prep["grid"])
+                    buckets.setdefault(key, []).append((i, prep))
+                    moved = True
+                return moved
+
+            def ready_key():
+                full = [k for k, v in buckets.items()
+                        if len(v) >= opts.batch_size]
+                if full:
+                    return full[0]
+                buffered = sum(len(v) for v in buckets.values())
+                over = buffered >= max_buffered
+                drained = done and not futs and buckets
+                if over or drained:
+                    return max(buckets, key=lambda k: len(buckets[k]))
+                return None
+
+            def launch(key):
+                items = buckets[key][:opts.batch_size]
+                buckets[key] = buckets[key][opts.batch_size:]
+                if not buckets[key]:
+                    del buckets[key]
+                idxs = [i for i, _ in items]
+                preps = [p for _, p in items]
+                self._record_launch(preps)
+                handle = self.model.launch_batch(
+                    preps, max_new_tokens=opts.max_new_tokens,
+                    temperature=opts.temperature, top_p=opts.top_p,
+                    seed=opts.seed, eos_token_id=opts.eos_token_id)
+                in_flight.append(_Launched(handle, idxs))
+
+            pump()
+            while futs or buckets or in_flight:
+                pump()
+                drain(block=False)
+                while len(in_flight) <= opts.max_in_flight:
+                    key = ready_key()
+                    if key is None:
+                        break
+                    launch(key)
+                    pump()
+                    drain(block=False)
+                if in_flight:
+                    launched = in_flight.popleft()
+                    for i, r in zip(launched.indices,
+                                    self.model.finish_batch(launched.handle)):
+                        yield i, r
+                elif futs:
+                    drain(block=True)
+                # else: buckets nonempty and nothing in flight -> next
+                # ready_key() call flushes them (done and no futs)
 
     def _finish(self, launched: _Launched, results: list) -> None:
         for i, r in zip(launched.indices,
