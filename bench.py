@@ -313,6 +313,62 @@ def main():
 
     prompt_len = int(r.prompt_len)
 
+    # ---- mixed-geometry serving (VERDICT r3 #4/#5): a COCO-like size
+    # mix through the geometry-grouped scheduler + 112px ladder. Reported:
+    # mixed img/s, fused-batch fraction, and the ratio to the homogeneous
+    # headline. BENCH_MIXED=0 disables.
+    mixed = None
+    if (batch == 1 and serving and "img_s" in serving
+            and os.environ.get("BENCH_MIXED", "1") == "1"):
+        try:
+            from PIL import Image
+
+            from vlm_fo1_tpu.runtime.serving import (
+                ServingOptions,
+                ServingPipeline,
+            )
+
+            base = (Image.open(img_path).convert("RGB")
+                    if isinstance(img_path, str) else img_path)
+            # COCO val2017-ish size families (w, h)
+            fams = [(640, 480), (500, 375), (640, 427), (612, 612),
+                    (640, 426), (480, 640)]
+            n_req = int(os.environ.get("BENCH_MIXED_REQUESTS", "48"))
+            rng_m = np.random.default_rng(0)
+            reqs = []
+            for i in range(n_req):
+                w, h = fams[int(rng_m.integers(len(fams)))]
+                im = base.resize((w, h))
+                reqs.append([{
+                    "role": "user",
+                    "content": [
+                        {"type": "image_url", "image_url": {"url": im}},
+                        {"type": "text",
+                         "text": OD_template.format("orange")},
+                    ],
+                    "bbox_list": bbox_list,
+                }])
+            sbatch = int(os.environ.get("BENCH_SERVING_BATCH", "16"))
+            pipe = ServingPipeline(model, ServingOptions(
+                batch_size=sbatch, max_new_tokens=decode_tokens,
+                max_pixels=max_pixels, eos_token_id=-1,
+                prepare_workers=8, max_in_flight=3,
+                geometry_group=True, geometry_factor=112))
+            pipe.run(reqs)          # warm: compiles each grid's program
+            t0 = time.time()
+            pipe.run(reqs)
+            dt = time.time() - t0
+            mixed = {
+                "img_s": round(n_req / dt, 4),
+                "vs_homogeneous": round(n_req / dt / serving["img_s"], 3),
+                "requests": n_req,
+                "fused_batches": pipe.stats["fused_batches"],
+                "batches": pipe.stats["batches"],
+                "grids": pipe.stats["grids"],
+            }
+        except Exception as e:
+            mixed = {"error": str(e)[:160]}
+
     # ---- MFU / roofline accounting (runtime/flops.py): analytic per-stage
     # FLOPs over the measured stage times -> achieved TFLOP/s and MFU vs the
     # v5e bf16 peak (197 TFLOP/s; int8-weight modes still run bf16 MACs).
@@ -365,6 +421,10 @@ def main():
             import gc
 
             model = None
+            pipe = None  # the serving/mixed pipelines hold model refs —
+            # without dropping them the FO1 params stay resident through
+            # the UPN compile (and the r4 bench's UPN compile crashed
+            # under that pressure)
             del r
             gc.collect()
             from PIL import Image
@@ -403,6 +463,18 @@ def main():
                 upn["mfu"] = round(uf / up50 / _F.V5E_BF16_PEAK, 4)
             except Exception:
                 pass
+            # batched proposal serving (the wrapper batches same-bucket
+            # images per forward with async dispatch): throughput mode
+            try:
+                ub = int(os.environ.get("BENCH_UPN_BATCH", "4"))
+                n_imgs = ub * 3
+                upn_w.inference([img] * ub, batch_size=ub)  # compile
+                t0 = time.time()
+                upn_w.inference([img] * n_imgs, batch_size=ub)
+                upn["batched_img_s"] = round(n_imgs / (time.time() - t0), 4)
+                upn["batch"] = ub
+            except Exception as e:
+                upn["batched_error"] = str(e)[:120]
             if os.environ.get("BENCH_UPN_STAGES", "1") == "1":
                 # stage split via layer slicing (tools/profile_upn.py
                 # machinery): backbone / glue+two-stage / encoder / decoder
@@ -438,6 +510,7 @@ def main():
                          if timer.report().get("decode") else None),
         "serving_decode_tok_s": (round(headline * decode_tokens, 1)
                                  if serving and "img_s" in serving else None),
+        "mixed_geometry": mixed,
         "mfu": mfu,
         "max_pixels": max_pixels,
         "prompt_len": prompt_len,

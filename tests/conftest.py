@@ -26,6 +26,19 @@ if os.environ.get("VLM_FO1_TEST_ON_TPU") != "1":
 jax.config.update("jax_default_matmul_precision", "highest")
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _bound_jit_cache_rss():
+    """Release jit/compile caches after each test module: the full suite
+    (210+ tests incl. torch-oracle modules and Swin-L/DaViT XLA compiles)
+    otherwise accumulates enough XLA:CPU executables on the 1-CPU box to
+    segfault the compiler around test ~170 (observed r4, deterministic)."""
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

@@ -129,6 +129,14 @@ def test_patch_gather_core_matches_row_gather_oracle(rng):
     assert float(jnp.abs(g).sum()) > 0
 
 
+def _interp():
+    """Interpret on CPU; compile for real when the suite runs on the chip
+    (VLM_FO1_TEST_ON_TPU=1). The pallas interpreter's dots on the TPU
+    backend do NOT honor the kernel's pinned precisions, so interpret-mode
+    parity at f32 tolerance only holds on CPU."""
+    return jax.default_backend() == "cpu"
+
+
 def test_pallas_core_matches_xla_core(rng):
     """The Pallas TPU kernel (interpret mode on CPU) vs the XLA gather core,
     including out-of-bounds windows, D=32 quad packing, and query counts that
@@ -149,7 +157,7 @@ def test_pallas_core_matches_xla_core(rng):
         jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w)))
     got = np.asarray(ms_deform_attn_core_fast(
         jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w),
-        True, 16))
+        _interp(), 16))
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
     # bf16 values (the production UPN dtype)
@@ -158,7 +166,7 @@ def test_pallas_core_matches_xla_core(rng):
         jnp.asarray(w)))
     got_b = np.asarray(ms_deform_attn_core_fast(
         jnp.asarray(value, jnp.bfloat16), shapes, jnp.asarray(loc),
-        jnp.asarray(w), True, 16))
+        jnp.asarray(w), _interp(), 16))
     np.testing.assert_allclose(got_b, want_b, atol=1e-5, rtol=1e-5)
 
 
@@ -177,7 +185,7 @@ def test_pallas_core_grad_falls_back_to_xla(rng):
 
     g_fast = jax.grad(
         lambda v, l, a: ms_deform_attn_core_fast(
-            v, shapes, l, a, True, 8).sum(), argnums=(0, 1, 2))(value, loc, w)
+            v, shapes, l, a, _interp(), 8).sum(), argnums=(0, 1, 2))(value, loc, w)
     g_ref = jax.grad(
         lambda v, l, a: ms_deform_attn_core(
             v, shapes, l, a).sum(), argnums=(0, 1, 2))(value, loc, w)
@@ -206,12 +214,13 @@ def test_msda_layer_backend_dispatch(rng):
     ref2 = jnp.asarray(rng.uniform(0, 1, (b, lq, len(SHAPES), 2))
                        .astype(np.float32))
     want = msda_layer(p, q, ref2, v, SHAPES, heads, points, backend="xla")
-    os.environ["VLM_FO1_MSDA_INTERPRET"] = "1"
+    if _interp():
+        os.environ["VLM_FO1_MSDA_INTERPRET"] = "1"
     try:
         got = msda_layer(p, q, ref2, v, SHAPES, heads, points,
                          backend="pallas")
     finally:
-        del os.environ["VLM_FO1_MSDA_INTERPRET"]
+        os.environ.pop("VLM_FO1_MSDA_INTERPRET", None)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=1e-5)
 
@@ -234,7 +243,7 @@ def test_pallas_core_chunked_levels_match(rng):
     loc_flat = loc.transpose(0, 1, 3, 2, 4, 5).reshape(b, lq, -1)
     aw_flat = w.transpose(0, 1, 3, 2, 4).reshape(b, lq, -1)
     got = np.asarray(_msda_pallas(value, shapes, loc_flat, aw_flat,
-                                  n_heads=m, interpret=True, qb=256,
+                                  n_heads=m, interpret=_interp(), qb=256,
                                   chunk_rows=48))
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
@@ -271,7 +280,7 @@ def test_pallas_forced_per8_paths_match_xla(rng, force, monkeypatch):
         jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w)))
     got = np.asarray(ms_deform_attn_core_fast(
         jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w),
-        True, 256))
+        _interp(), 256))
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
 
@@ -294,7 +303,7 @@ def test_pallas_large_unchunked_level_mixes_paths(rng):
         jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w)))
     got = np.asarray(ms_deform_attn_core_fast(
         jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w),
-        True, 256))
+        _interp(), 256))
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
 

@@ -54,8 +54,14 @@ Design:
   packed lane layout by a matmul against a constant 0/1 matrix; MXU matmuls
   at default precision round f32 operands to bf16 (a ~0.4% weight error
   that interpret mode hides — round 1 shipped with it), so the expansion
-  runs as a bf16x3 split (three full-rate exact dots). One-hot row
-  selection is exact at any precision.
+  runs as a bf16x3 split (three full-rate exact dots). Every kernel dot
+  pins its precision EXPLICITLY (r4): the bf16 expansion dots to DEFAULT
+  (a global jax_default_matmul_precision=highest would hand Mosaic fp32
+  contract precision for bf16 operands — a compile error), and the
+  one-hot selection dots to HIGHEST only when the value dtype is f32
+  (exact for bf16 values at DEFAULT; the toolchain rounds f32 dot
+  operands to bf16 at DEFAULT, which the f32 CPU-oracle parity tests
+  would see as ~2e-3 error).
 
 - **Level chunking.** A level map must fit in VMEM; large levels are split
   into row bands, with out-of-band samples masked to weight zero and a
@@ -83,11 +89,19 @@ from jax.experimental.pallas import tpu as pltpu
 from vlm_fo1_tpu.ops.msda import ms_deform_attn_core
 
 _LANES = 128
-# bytes per VMEM-resident band of a level map (doubled by pipelining
-# buffers; a 224x256 stride-4 level-0 map splits into ~4 bands at bf16).
-# 4MB: 2 band buffers + the w128 scratch (2MB at n_samp=16) + w4/ex/out
-# blocks must fit the 16MB scoped VMEM limit.
-_CHUNK_BYTES = 4 * 1024 * 1024
+# Grouping threshold: consecutive small levels whose quad-packed maps fit
+# this many bytes share ONE kernel pass (n_samp = P*glen; its w128 scratch
+# is 2MB at n_samp=16, so 2 x 5MB band buffers + scratch + blocks fit the
+# 16MB scoped VMEM limit). 5MB lets the 800/1333 encoder's levels 1-4
+# (~4.8MB packed) run as a single pass.
+_CHUNK_BYTES = 5 * 1024 * 1024
+# Band budget for a single large level (n_samp = P): pass count, not band
+# size, is what the wall-clock follows (measured: level-0 at 800/1333 in
+# 4 bands = 67 ms/layer, 3 bands = 56, 2 bands = 50). Two 2-band buffers
+# (2 x 7.2MB) + tile-padded index blocks exceed the 16MB scoped-VMEM
+# limit when the kernel sits inside a scanned trunk body (16.54M
+# observed), so 6.5MB -> 3 bands is the in-scan optimum.
+_BAND_BYTES = 6656 * 1024
 
 
 def _expansion_matrix(n_samp: int, d: int) -> np.ndarray:
@@ -138,11 +152,21 @@ def _msda_level_kernel(code_ref, dvm_ref, gb_ref, dw_ref, s0r_ref, w4_ref,
     exv = ex_ref[:]
     # bf16x3 split: exact f32 expansion at full MXU rate (default-precision
     # f32 matmuls silently round operands to bf16; HIGHEST is 6x slower and
-    # rejected for bf16 operands)
-    w128_ref[:] = (jnp.dot(hi, exv, preferred_element_type=jnp.float32)
-                   + jnp.dot(mid, exv, preferred_element_type=jnp.float32)
-                   + jnp.dot(lo, exv, preferred_element_type=jnp.float32))
+    # rejected for bf16 operands). Precision pinned DEFAULT explicitly:
+    # under a global jax_default_matmul_precision=highest (the parity-test
+    # config) Mosaic would otherwise receive fp32 contract precision for
+    # these bf16 dots and fail to compile ("Bad lhs type").
+    dotd = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.DEFAULT)
+    w128_ref[:] = dotd(hi, exv) + dotd(mid, exv) + dotd(lo, exv)
     vdt = val4_ref.dtype
+    # One-hot selection is exact for bf16 values at DEFAULT precision, but
+    # the current toolchain rounds f32 dot operands to bf16 at DEFAULT —
+    # f32 values (the CPU-oracle parity dtype) need HIGHEST to stay exact.
+    dots = functools.partial(
+        jnp.dot, preferred_element_type=jnp.float32,
+        precision=(jax.lax.Precision.HIGHEST if vdt == jnp.float32
+                   else jax.lax.Precision.DEFAULT))
     iota16 = jax.lax.broadcasted_iota(jnp.int32, (8, 16), 1)
     iota128 = jax.lax.broadcasted_iota(jnp.int32, (64, 128), 1)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
@@ -192,7 +216,7 @@ def _msda_level_kernel(code_ref, dvm_ref, gb_ref, dw_ref, s0r_ref, w4_ref,
                 else:
                     oh = (iota128 == delta).astype(vdt)
                 blk = val4_ref[0, pl.ds(base, 128), :]            # (128, 4D)
-                sel = jnp.dot(oh, blk, preferred_element_type=jnp.float32)
+                sel = dots(oh, blk)
                 if xp == "noweight":
                     acc = acc + sel
                 else:
@@ -215,9 +239,7 @@ def _msda_level_kernel(code_ref, dvm_ref, gb_ref, dw_ref, s0r_ref, w4_ref,
                                 jnp.full((8, 1), word, jnp.int32),
                                 shifts) & 15
                             blk = val4_ref[0, pl.ds(base, 16), :]  # (16,4D)
-                            sel = jnp.dot(
-                                (iota16 == delta8).astype(vdt), blk,
-                                preferred_element_type=jnp.float32)
+                            sel = dots((iota16 == delta8).astype(vdt), blk)
                             acc_ref[pl.ds(sub * 8, 8), :] += \
                                 sel * w128_ref[pl.ds(q8, 8),
                                                s * 4 * d:(s + 1) * 4 * d]
@@ -461,9 +483,15 @@ def _msda_pallas(value, spatial_shapes, loc_flat, aw_flat, *, n_heads,
     slices are contiguous; see module doc. Returns [B, Lq, M*D] f32."""
     import math
 
+    row_bytes = 4 * value.shape[-1] * value.dtype.itemsize
     if chunk_rows is None:
-        row_bytes = 4 * value.shape[-1] * value.dtype.itemsize
         chunk_rows = _CHUNK_BYTES // row_bytes // 8 * 8
+        # adaptive band budget for single-level passes (their scratch is
+        # small, so bands can be bigger than the grouping threshold)
+        band_rows_max = _BAND_BYTES // row_bytes // 8 * 8
+    else:
+        band_rows_max = chunk_rows  # explicit override (tests) keeps the
+        # one-knob behavior
     b, s, m, d = value.shape
     assert m == n_heads
     L = len(spatial_shapes)
@@ -549,6 +577,13 @@ def _msda_pallas(value, spatial_shapes, loc_flat, aw_flat, *, n_heads,
             return out
         glen = len(group)
         qb_p = _fit_qb(qb, P * glen)
+        if qb_p is not None and P * glen > 8:
+            # multi-level grouped passes carry a qb*n_samp*4D f32 w128
+            # scratch next to two ~5MB band buffers; qb 128 halves that
+            # scratch (speed-neutral, measured) and keeps the scoped-VMEM
+            # request under the 16MB limit even inside a scanned body
+            # (observed 16.36M > 16M at qb 256 in upn_forward's scan)
+            qb_p = min(qb_p, _fit_qb(128, P * glen) or qb_p)
         if qb_p is None:
             # no block size fits this many packed levels in one pass —
             # split the group rather than assert (large P*glen configs)
@@ -576,13 +611,18 @@ def _msda_pallas(value, spatial_shapes, loc_flat, aw_flat, *, n_heads,
             out = flush(out, group)
             group, group_rows = [], 0
             st, w4 = level_slices([lvl])
-            cid = (st // 8) * 8 // chunk_rows
-            for c in range(-(-rtot // chunk_rows)):
+            # minimize pass count first, then split evenly: wall-clock
+            # follows the number of passes, not the band size
+            nbands = -(-rtot // band_rows_max)
+            per_band = -(-rtot // nbands)
+            brows = -(-per_band // 8) * 8            # even split, 8-aligned
+            cid = (st // 8) * 8 // brows
+            for c in range(nbands):
                 in_band = cid == c
-                st_c = jnp.where(in_band, st - c * chunk_rows, 0)
+                st_c = jnp.where(in_band, st - c * brows, 0)
                 w4_c = jnp.where(jnp.repeat(in_band, 4, axis=-1), w4, 0.0)
-                hi_r = min(c * chunk_rows + chunk_rows + 128, rtot)
-                band = val4[:, c * chunk_rows:hi_r]
+                hi_r = min(c * brows + brows + 128, rtot)
+                band = val4[:, c * brows:hi_r]
                 rpad = (-band.shape[1]) % 8 + 128
                 band = jnp.pad(band, ((0, 0), (0, rpad), (0, 0)))
                 out = out + _pass_call(st_c, w4_c, band, b=b, m=m,
