@@ -314,9 +314,10 @@ def test_fit_qb_degrades_instead_of_asserting():
 
     assert _fit_qb(256, 20) == 256          # UPN default (P=4, 5 levels)
     assert _fit_qb(256, 24) == 256          # 6 packed levels still fit
-    assert _fit_qb(256, 32) == 256          # 8 packed levels, exactly fits
-    assert _fit_qb(256, 36) is None         # 9 levels -> caller splits
-    assert _fit_qb(256, 64) == 128          # halves to fit the SMEM row
+    assert _fit_qb(256, 64) == 256          # (256//128)*64 = 128, fits
+    # SMEM-row overflow cases degrade to a smaller qb or split
+    assert _fit_qb(256, 65) is None         # odd count -> caller splits
+    assert _fit_qb(256, 128) == 128         # halves to fit the SMEM row
 
 
 @pytest.mark.skipif(jax.default_backend() != "tpu",

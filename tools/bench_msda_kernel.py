@@ -70,9 +70,11 @@ def path_stats(loc_flat, aw_flat, lq):
     split, per level (single-level passes, ignoring banding)."""
     L = len(SHAPES)
     MP = M * P
+    from vlm_fo1_tpu.ops.msda_pallas import _SG, _WIN
+
     lq_pad = -(-lq // 256) * 256
     loc = loc_flat[0]  # [Lq, L*MP*2]
-    tots = np.zeros(3)  # fast64 / fast8 / slow (sample-weighted)
+    tots = np.zeros(3)  # fast-group / fast8 / slow (sample-weighted)
     for j, (h, w) in enumerate(SHAPES):
         sl = slice(j * MP * 2, (j + 1) * MP * 2)
         t = loc[:, sl].reshape(lq, MP, 2) * np.array([w, h], np.float32) - 0.5
@@ -80,18 +82,17 @@ def path_stats(loc_flat, aw_flat, lq):
         starts = (np.clip(t0[..., 1] + 1, 0, h) * (w + 2)
                   + np.clip(t0[..., 0] + 1, 0, w))        # [Lq, MP]
         starts = np.pad(starts, ((0, lq_pad - lq), (0, 0)))
-        sg64 = starts.reshape(-1, 64, MP)
-        base64 = (sg64.min(1) // 8) * 8
-        f64 = (sg64.max(1) - base64) < 128                # [nq64, MP]
+        sgg = starts.reshape(-1, _SG, MP)
+        base_g = (sgg.min(1) // 8) * 8
+        fg = (sgg.max(1) - base_g) < _WIN                 # [nqg, MP]
         sg8 = starts.reshape(-1, 8, MP)
         b8 = (sg8.min(1) // 8) * 8
         f8 = (sg8.max(1) - b8) < 16                       # [nq8, MP]
-        f8g = f8.reshape(-1, 8, MP).all(1) | f64  # count per supergroup...
-        n64 = f64.sum() * 64
-        n8 = (~f64[:, None, :] & f8.reshape(-1, 8, MP)).sum() * 8
-        nslow = starts.reshape(-1, 64, MP).shape[0] * 64 * MP - n64 - n8
-        tots += np.array([n64, n8, nslow])
-        del f8g
+        ng = fg.sum() * _SG
+        n8 = (~fg[:, None, :]
+              & f8.reshape(-1, _SG // 8, MP)).sum() * 8
+        nslow = sgg.shape[0] * _SG * MP - ng - n8
+        tots += np.array([ng, n8, nslow])
     tot = tots.sum()
     return tots / tot
 
@@ -112,7 +113,7 @@ def main():
     for regime, jit_px in (("init", 0.0), ("jitter2px", 2.0)):
         loc_flat, aw_flat, lq = geometry(jit_px)
         fr = path_stats(loc_flat, aw_flat, lq)
-        print(f"[{regime}] samples: fast64 {fr[0]*100:.1f}%  "
+        print(f"[{regime}] samples: fastgroup {fr[0]*100:.1f}%  "
               f"fast8 {fr[1]*100:.1f}%  slow {fr[2]*100:.1f}%")
         locj = jnp.asarray(loc_flat)
         awj = jnp.asarray(aw_flat)

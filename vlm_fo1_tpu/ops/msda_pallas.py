@@ -30,12 +30,16 @@ Design:
   load per sample, fully using the vector unit's lane width.
 
 - **Hierarchical group-window fast paths.** Queries are processed in
-  64-query supergroups. Per (supergroup, sample slot): if all 64 sample
-  rows fit one 128-row window (precomputed on the XLA side — the common
-  encoder case: row index = y*(W+2)+x, so adjacent row-major queries
-  sample near-consecutive rows and a 64-query run spans ~64-70 rows),
-  ONE (128, 4D) load + a (64,128) one-hot MXU matmul selects all 64 rows
-  at once; the 64 in-window deltas arrive as an int32 VMEM column. The
+  _SG=128-query supergroups. Per (supergroup, sample slot): if all 128
+  sample rows fit one _WIN=256-row window (precomputed on the XLA side —
+  the common encoder case: row index = y*(W+2)+x, so adjacent row-major
+  queries sample near-consecutive rows), ONE (_WIN, 4D) load + a
+  (_SG, _WIN) one-hot MXU matmul selects all 128 rows at once (full-rank
+  MXU rows; r1-r3 used 64-query/128-row, which halved MXU utilization
+  and doubled the per-slot scalar/branch overhead — the wider groups
+  measure equal at the init regime and ~6% faster with trained-style
+  jittered offsets); the in-window deltas arrive as an int32 VMEM
+  column. The
   supergroup loop over slots is STRAIGHT-LINE with register accumulation:
   slots that miss the window carry delta -1 (an all-zero one-hot), so
   their matmul contributes exactly zero and no branch sits between MXU
@@ -89,6 +93,12 @@ from jax.experimental.pallas import tpu as pltpu
 from vlm_fo1_tpu.ops.msda import ms_deform_attn_core
 
 _LANES = 128
+# Supergroup fast-path geometry: _SG queries share one _WIN-row window +
+# one-hot matmul. r4 widened 64/128 -> 128/256: half as many supergroup
+# iterations (per-slot SMEM reads, branches, matmul issues) and the
+# selection matmul runs with a full 128-row MXU operand.
+_SG = 128
+_WIN = 256
 # Grouping threshold: consecutive small levels whose quad-packed maps fit
 # this many bytes share ONE kernel pass (n_samp = P*glen; its w128 scratch
 # is 2MB at n_samp=16, so 2 x 5MB band buffers + scratch + blocks fit the
@@ -168,7 +178,7 @@ def _msda_level_kernel(code_ref, dvm_ref, gb_ref, dw_ref, s0r_ref, w4_ref,
         precision=(jax.lax.Precision.HIGHEST if vdt == jnp.float32
                    else jax.lax.Precision.DEFAULT))
     iota16 = jax.lax.broadcasted_iota(jnp.int32, (8, 16), 1)
-    iota128 = jax.lax.broadcasted_iota(jnp.int32, (64, 128), 1)
+    iota_win = jax.lax.broadcasted_iota(jnp.int32, (_SG, _WIN), 1)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
     shifts = row_ids * 4
 
@@ -181,16 +191,16 @@ def _msda_level_kernel(code_ref, dvm_ref, gb_ref, dw_ref, s0r_ref, w4_ref,
 
     jrow = jax.lax.rem(pl.program_id(1), 8)
 
-    def body(g64, _):
-        q0 = pl.multiple_of(g64 * 64, 64)
-        codes = [code_ref[0, jrow, g64 * n_samp + s] for s in range(n_samp)]
+    def body(g, _):
+        q0 = pl.multiple_of(g * _SG, _SG)
+        codes = [code_ref[0, jrow, g * n_samp + s] for s in range(n_samp)]
         act = codes[0]
         for s in range(1, n_samp):
             act = jnp.maximum(act, codes[s])  # all -2 -> nothing occupied
 
         @pl.when(act == -2)
         def _skip():
-            out_ref[0, pl.ds(q0, 64), :] = jnp.zeros((64, d), jnp.float32)
+            out_ref[0, pl.ds(q0, _SG), :] = jnp.zeros((_SG, d), jnp.float32)
 
         @pl.when(act > -2)
         def _active():
@@ -200,33 +210,33 @@ def _msda_level_kernel(code_ref, dvm_ref, gb_ref, dw_ref, s0r_ref, w4_ref,
 
             @pl.when(any_miss)
             def _zero():
-                acc_ref[...] = jnp.zeros((64, 4 * d), jnp.float32)
+                acc_ref[...] = jnp.zeros((_SG, 4 * d), jnp.float32)
 
-            dmat = dvm_ref[0, pl.ds(q0, 64), :]        # (64, S) i32
-            acc = jnp.zeros((64, 4 * d), jnp.float32)
+            dmat = dvm_ref[0, pl.ds(q0, _SG), :]       # (SG, S) i32
+            acc = jnp.zeros((_SG, 4 * d), jnp.float32)
             for s in range(n_samp):
                 # straight-line: missed slots carry delta -1 -> zero
                 # one-hot -> exact zero contribution; base clamps to 0
                 base = pl.multiple_of(jnp.maximum(codes[s], 0), 8)
                 if xp == "staticbase":  # perf experiment knobs (wrong
                     base = 0            # results; see bench_msda_kernel)
-                delta = jax.lax.slice(dmat, (0, s), (64, s + 1))  # (64, 1)
+                delta = jax.lax.slice(dmat, (0, s), (_SG, s + 1))  # (SG, 1)
                 if xp == "noonehot":
-                    oh = iota128.astype(vdt)
+                    oh = iota_win.astype(vdt)
                 else:
-                    oh = (iota128 == delta).astype(vdt)
-                blk = val4_ref[0, pl.ds(base, 128), :]            # (128, 4D)
+                    oh = (iota_win == delta).astype(vdt)
+                blk = val4_ref[0, pl.ds(base, _WIN), :]           # (WIN, 4D)
                 sel = dots(oh, blk)
                 if xp == "noweight":
                     acc = acc + sel
                 else:
-                    acc = acc + sel * w128_ref[pl.ds(q0, 64),
+                    acc = acc + sel * w128_ref[pl.ds(q0, _SG),
                                                s * 4 * d:(s + 1) * 4 * d]
 
             for s in range(n_samp):
                 @pl.when(codes[s] == -1)
                 def _per8():
-                    for sub in range(8):
+                    for sub in range(_SG // 8):
                         q8 = q0 + sub * 8
                         e = q8 * n_samp + s
                         b8 = idx(gb_ref, e)
@@ -262,21 +272,21 @@ def _msda_level_kernel(code_ref, dvm_ref, gb_ref, dw_ref, s0r_ref, w4_ref,
 
             @pl.when(any_miss)
             def _merge():
-                out_ref[0, pl.ds(q0, 64), :] = _fold(acc + acc_ref[...])
+                out_ref[0, pl.ds(q0, _SG), :] = _fold(acc + acc_ref[...])
 
             @pl.when(jnp.logical_not(any_miss))
             def _direct():
-                out_ref[0, pl.ds(q0, 64), :] = _fold(acc)
+                out_ref[0, pl.ds(q0, _SG), :] = _fold(acc)
 
         return 0
 
-    jax.lax.fori_loop(0, qb // 64, body, 0)
+    jax.lax.fori_loop(0, qb // _SG, body, 0)
 
 
 def _quad_pack(val_level: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     """[BM, H*W, D] -> padded quad-packed [BM, R, 4D] with R a multiple of 8
-    PLUS 128 slack rows (the supergroup fast path's 128-row window may
-    extend up to 15 aligned blocks past the last sample's aligned base)."""
+    PLUS _WIN slack rows (the supergroup fast path's _WIN-row window may
+    extend that far past the last sample's aligned base)."""
     bm, _, dd = val_level.shape
     vp = jnp.pad(val_level.reshape(bm, h, w, dd),
                  ((0, 0), (1, 1), (1, 1), (0, 0)))
@@ -286,7 +296,7 @@ def _quad_pack(val_level: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     rw = jnp.roll(flat, -wp, axis=1)
     rw1 = jnp.roll(flat, -(wp + 1), axis=1)
     packed = jnp.concatenate([flat, r1, rw, rw1], axis=-1)
-    rpad = -(-packed.shape[1] // 8) * 8 - packed.shape[1] + 128
+    rpad = -(-packed.shape[1] // 8) * 8 - packed.shape[1] + _WIN
     return jnp.pad(packed, ((0, 0), (0, rpad), (0, 0)))
 
 
@@ -308,7 +318,7 @@ def _group_meta(starts_p, w4_p, b, m, lq_pad, n_samp, force=None):
     microbench knob threaded from ms_deform_attn_core_flat's env read.
     """
     nq8 = lq_pad // 8
-    nq64 = lq_pad // 64
+    nqg = lq_pad // _SG
     s0 = (starts_p // 8) * 8
     qmod8 = (jnp.arange(lq_pad, dtype=jnp.int32) % 8)[None, :, None]
     s0r = s0 + (qmod8 - (starts_p - s0)) % 8
@@ -322,32 +332,32 @@ def _group_meta(starts_p, w4_p, b, m, lq_pad, n_samp, force=None):
     dw = (delta << (4 * jnp.arange(8, dtype=jnp.int32)
                     )[None, None, :, None, None]).sum(axis=2)
 
-    # 64-query supergroup windows
-    sg64 = starts_p.reshape(b, nq64, 64, m, n_samp)
-    g64min = sg64.min(axis=2)
-    g64max = sg64.max(axis=2)                   # [B, nq64, M, S]
-    base64 = (g64min // 8) * 8
-    fast64 = (g64max - base64) < 128
-    wg = (w4_p != 0).reshape(b, nq64, 64, m, 4 * n_samp)
-    occ64 = wg.any(axis=2).reshape(b, nq64, m, n_samp, 4).any(-1)
+    # _SG-query supergroup windows
+    sgg = starts_p.reshape(b, nqg, _SG, m, n_samp)
+    gmin_g = sgg.min(axis=2)
+    gmax_g = sgg.max(axis=2)                    # [B, nqg, M, S]
+    base_g = (gmin_g // 8) * 8
+    fast_g = (gmax_g - base_g) < _WIN
+    wg = (w4_p != 0).reshape(b, nqg, _SG, m, 4 * n_samp)
+    occ_g = wg.any(axis=2).reshape(b, nqg, m, n_samp, 4).any(-1)
     if force in ("slow", "fast8"):
-        fast64 = jnp.zeros_like(fast64)
+        fast_g = jnp.zeros_like(fast_g)
     if force == "slow":
         fast8 = jnp.zeros_like(fast8)
-    code = jnp.where(occ64, jnp.where(fast64, base64, -1), -2)
+    code = jnp.where(occ_g, jnp.where(fast_g, base_g, -1), -2)
     # per-8-group occupancy: subgroups with no nonzero weight in a slot
     # (out-of-band samples in a chunked row-band pass) skip the per-8
     # load+matmul entirely via the -2 sentinel
     occ8 = ((w4_p != 0).reshape(b, nq8, 8, m, 4 * n_samp).any(axis=2)
             .reshape(b, nq8, m, n_samp, 4).any(-1))
-    rep64 = jnp.broadcast_to(fast64[:, :, None],
-                             (b, nq64, 64, m, n_samp)
+    rep_g = jnp.broadcast_to(fast_g[:, :, None],
+                             (b, nqg, _SG, m, n_samp)
                              ).reshape(b, lq_pad, m * n_samp)
     dvm = jnp.where(
-        rep64,
+        rep_g,
         jnp.clip(starts_p - jnp.broadcast_to(
-            base64[:, :, None], (b, nq64, 64, m, n_samp)
-        ).reshape(b, lq_pad, m * n_samp), 0, 127),
+            base_g[:, :, None], (b, nqg, _SG, m, n_samp)
+        ).reshape(b, lq_pad, m * n_samp), 0, _WIN - 1),
         -1)
     gb = jnp.where(occ8, jnp.where(fast8, gb, -1), -2)
 
@@ -356,7 +366,7 @@ def _group_meta(starts_p, w4_p, b, m, lq_pad, n_samp, force=None):
         return jnp.broadcast_to(x[:, :, None], (b, nq8, 8, m, n_samp)
                                 ).reshape(b, lq_pad, m * n_samp)
 
-    return s0r, rep8(gb), rep8(dw), code.reshape(b, nq64, m * n_samp), dvm
+    return s0r, rep8(gb), rep8(dw), code.reshape(b, nqg, m * n_samp), dvm
 
 
 def _to_slab2(x, m, last):
@@ -375,14 +385,14 @@ def _to_slab3(x, m, last):
 
 def _fit_qb(qb_top: int, n_samp: int) -> int | None:
     """Largest qb = qb_top / 2^k satisfying the kernel block constraints
-    for this pass's n_samp: 64-divisible, dense index blocks 8-row exact
+    for this pass's n_samp: _SG-divisible, dense index blocks 8-row exact
     ((qb*n_samp) % 1024 == 0), and the supergroup codes fitting one
-    128-lane SMEM row ((qb//64)*n_samp <= 128). None if no power-of-two
+    128-lane SMEM row ((qb//_SG)*n_samp <= 128). None if no power-of-two
     reduction fits — the caller then splits the level group instead."""
     q = qb_top
-    while q >= 64:
-        if (q % 64 == 0 and (q * n_samp) % 1024 == 0
-                and (q // 64) * n_samp <= 128):
+    while q >= _SG:
+        if (q % _SG == 0 and (q * n_samp) % 1024 == 0
+                and (q // _SG) * n_samp <= 128):
             return q
         q //= 2
     return None
@@ -399,7 +409,7 @@ def _pass_call(starts_p, w4_p, val4, *, b, m, n_samp, d, qb, interpret,
     assert (qb * n_samp) % 1024 == 0, (
         "qb*n_samp must be a multiple of 1024 so the dense [.., 128] index "
         f"blocks have 8-divisible rows (qb={qb}, n_samp={n_samp})")
-    assert qb % 64 == 0 and (qb // 64) * n_samp <= 128, (
+    assert qb % _SG == 0 and (qb // _SG) * n_samp <= 128, (
         "per-block supergroup codes must fit one 128-lane SMEM row "
         f"(qb={qb}, n_samp={n_samp})")
     s0r, gb, dw, code, dvm = _group_meta(starts_p, w4_p, b, m, lq_pad,
@@ -415,7 +425,7 @@ def _pass_call(starts_p, w4_p, val4, *, b, m, n_samp, d, qb, interpret,
     s0r = dense128(s0r)
     gb = dense128(gb)
     dw = dense128(dw)
-    gcodes = (qb // 64) * n_samp
+    gcodes = (qb // _SG) * n_samp
     code = _to_slab3(code, m, n_samp).reshape(b * m, nqb, gcodes)
     # pad lanes to 128 and rows to a multiple of 8 (Mosaic SMEM block
     # rules); padded rows carry -2 = skip, though no program reads them
@@ -451,7 +461,7 @@ def _pass_call(starts_p, w4_p, val4, *, b, m, n_samp, d, qb, interpret,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * m, lq_pad, d), jnp.float32),
         scratch_shapes=[pltpu.VMEM((qb, n_samp * 4 * d), jnp.float32),
-                        pltpu.VMEM((64, 4 * d), jnp.float32)],
+                        pltpu.VMEM((_SG, 4 * d), jnp.float32)],
         interpret=interpret,
     )(code, dvm, gb, dw, s0r, w4s, ex, val4)
 
@@ -621,9 +631,9 @@ def _msda_pallas(value, spatial_shapes, loc_flat, aw_flat, *, n_heads,
                 in_band = cid == c
                 st_c = jnp.where(in_band, st - c * brows, 0)
                 w4_c = jnp.where(jnp.repeat(in_band, 4, axis=-1), w4, 0.0)
-                hi_r = min(c * brows + brows + 128, rtot)
+                hi_r = min(c * brows + brows + _WIN, rtot)
                 band = val4[:, c * brows:hi_r]
-                rpad = (-band.shape[1]) % 8 + 128
+                rpad = (-band.shape[1]) % 8 + _WIN
                 band = jnp.pad(band, ((0, 0), (0, rpad), (0, 0)))
                 out = out + _pass_call(st_c, w4_c, band, b=b, m=m,
                                        n_samp=P, d=d, qb=_fit_qb(qb, P),
