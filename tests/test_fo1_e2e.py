@@ -431,3 +431,71 @@ def test_device_preproc_region_token_bound(model, rng):
         assert cos.min() > 0.999, cos
         rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
         assert rel < 0.02, rel
+
+
+def test_serving_retries_transient_launch_failures(model, rng, monkeypatch):
+    """Failure recovery (SURVEY §5 gap closed in r4): a transient
+    RESOURCE_EXHAUSTED on launch is retried with backoff instead of
+    killing the stream; results still correct, retry counted."""
+    from vlm_fo1_tpu.runtime.serving import ServingOptions, ServingPipeline
+
+    msgs = [_messages(rng, n_boxes=2) for _ in range(2)]
+    ref = [model.generate(m, max_new_tokens=3, max_pixels=128 * 128)
+           for m in msgs]
+
+    real_launch = model.launch_batch
+    fails = {"n": 1}
+
+    def flaky_launch(*a, **k):
+        if fails["n"] > 0:
+            fails["n"] -= 1
+            raise RuntimeError("RESOURCE_EXHAUSTED: out of memory (fake)")
+        return real_launch(*a, **k)
+
+    monkeypatch.setattr(model, "launch_batch", flaky_launch)
+    pipe = ServingPipeline(model, ServingOptions(
+        batch_size=2, max_new_tokens=3, max_pixels=128 * 128,
+        device_preproc=False, max_retries=2, retry_backoff_s=0.01))
+    out = pipe.run(msgs)
+    assert pipe.stats["retries"] == 1
+    for r, e in zip(out, ref):
+        np.testing.assert_array_equal(r.token_ids, e.token_ids)
+
+    # non-transient errors still propagate
+    def broken_launch(*a, **k):
+        raise RuntimeError("INVALID_ARGUMENT: shapes are wrong (fake)")
+
+    monkeypatch.setattr(model, "launch_batch", broken_launch)
+    pipe2 = ServingPipeline(model, ServingOptions(
+        batch_size=2, max_new_tokens=3, max_pixels=128 * 128,
+        device_preproc=False, max_retries=2, retry_backoff_s=0.01))
+    with pytest.raises(RuntimeError, match="INVALID_ARGUMENT"):
+        pipe2.run(msgs)
+
+
+def test_serving_retries_transient_finish_failures(model, rng, monkeypatch):
+    """A transient error at the blocking pull relaunches the SAME batch
+    (the handle's preps are retained) and the stream completes."""
+    from vlm_fo1_tpu.runtime.serving import ServingOptions, ServingPipeline
+
+    msgs = [_messages(rng, n_boxes=2) for _ in range(2)]
+    ref = [model.generate(m, max_new_tokens=3, max_pixels=128 * 128)
+           for m in msgs]
+
+    real_finish = model.finish_batch
+    fails = {"n": 1}
+
+    def flaky_finish(handle):
+        if fails["n"] > 0:
+            fails["n"] -= 1
+            raise RuntimeError("UNAVAILABLE: device rebooted (fake)")
+        return real_finish(handle)
+
+    monkeypatch.setattr(model, "finish_batch", flaky_finish)
+    pipe = ServingPipeline(model, ServingOptions(
+        batch_size=2, max_new_tokens=3, max_pixels=128 * 128,
+        device_preproc=False, max_retries=2, retry_backoff_s=0.01))
+    out = pipe.run(msgs)
+    assert pipe.stats["retries"] == 1
+    for r, e in zip(out, ref):
+        np.testing.assert_array_equal(r.token_ids, e.token_ids)

@@ -55,12 +55,21 @@ class ServingOptions:
     # prepared requests are buffered (bounds latency/memory under high grid
     # diversity).
     max_buffered_batches: int = 4
+    # Transient-failure recovery (the shared chip's free HBM fluctuates —
+    # co-tenants can make a launch RESOURCE_EXHAUSTED): a failed batch is
+    # retried after a backoff up to this many times before the error
+    # propagates. Retries are counted in stats["retries"]. The reference
+    # has no failure handling at all (SURVEY.md §5: a per-sample
+    # try/except-continue in eval_coco.py:60-65 is the closest artifact).
+    max_retries: int = 2
+    retry_backoff_s: float = 30.0
 
 
 @dataclass
 class _Launched:
     handle: dict
     indices: list[int]
+    preps: list | None = None  # kept for transient-failure relaunch
 
 
 class ServingPipeline:
@@ -91,11 +100,60 @@ class ServingPipeline:
         submission order; geometry_group mode may reorder across grids
         (run() reassembles by index)."""
         self.stats = {"requests": 0, "batches": 0, "fused_batches": 0,
-                      "partial_batches": 0, "grids": {}}
+                      "partial_batches": 0, "retries": 0, "grids": {}}
         if self.opts.geometry_group:
             yield from self._run_stream_grouped(messages_iter)
         else:
             yield from self._run_stream_fifo(messages_iter)
+
+    def _launch_with_retry(self, preps):
+        """launch_batch + eager finish-capable handle with transient-error
+        retry: a RESOURCE_EXHAUSTED (or other transient runtime error) on
+        the shared chip re-launches the SAME batch after a backoff instead
+        of killing the whole stream."""
+        import time as _time
+
+        last = None
+        for attempt in range(self.opts.max_retries + 1):
+            try:
+                return self.model.launch_batch(
+                    preps, max_new_tokens=self.opts.max_new_tokens,
+                    temperature=self.opts.temperature, top_p=self.opts.top_p,
+                    seed=self.opts.seed,
+                    eos_token_id=self.opts.eos_token_id)
+            except Exception as e:  # jax.errors.JaxRuntimeError etc.
+                transient = any(k in str(e) for k in (
+                    "RESOURCE_EXHAUSTED", "UNAVAILABLE", "DEADLINE_EXCEEDED",
+                    "remote_compile"))
+                last = e
+                if not transient or attempt == self.opts.max_retries:
+                    raise
+                self.stats["retries"] += 1
+                _time.sleep(self.opts.retry_backoff_s)
+        raise last  # unreachable
+
+    def _finish_with_retry(self, launched):
+        """finish_batch with the same transient policy. Device errors often
+        surface at the blocking pull, not the async launch; retrying here
+        needs the batch relaunched, which requires the preps — FIFO/grouped
+        callers pass them via launched.preps when available."""
+        import time as _time
+
+        for attempt in range(self.opts.max_retries + 1):
+            try:
+                return self.model.finish_batch(launched.handle)
+            except Exception as e:
+                transient = any(k in str(e) for k in (
+                    "RESOURCE_EXHAUSTED", "UNAVAILABLE",
+                    "DEADLINE_EXCEEDED"))
+                preps = getattr(launched, "preps", None)
+                if (not transient or attempt == self.opts.max_retries
+                        or preps is None):
+                    raise
+                self.stats["retries"] += 1
+                _time.sleep(self.opts.retry_backoff_s)
+                launched.handle = self._launch_with_retry(preps)
+        raise AssertionError("unreachable")
 
     def _record_launch(self, preps) -> None:
         st = self.stats
@@ -150,16 +208,13 @@ class ServingPipeline:
                     idxs, futs = pending.popleft()
                     preps = [f.result() for f in futs]
                     self._record_launch(preps)
-                    handle = self.model.launch_batch(
-                        preps, max_new_tokens=opts.max_new_tokens,
-                        temperature=opts.temperature, top_p=opts.top_p,
-                        seed=opts.seed, eos_token_id=opts.eos_token_id)
-                    in_flight.append(_Launched(handle, idxs))
+                    handle = self._launch_with_retry(preps)
+                    in_flight.append(_Launched(handle, idxs, preps))
                     if not done:
                         submit_prepare()
                 launched = in_flight.popleft()
                 for i, r in zip(launched.indices,
-                                self.model.finish_batch(launched.handle)):
+                                self._finish_with_retry(launched)):
                     yield i, r
 
     def _run_stream_grouped(self, messages_iter: Iterable[list[dict]]):
@@ -227,11 +282,8 @@ class ServingPipeline:
                 idxs = [i for i, _ in items]
                 preps = [p for _, p in items]
                 self._record_launch(preps)
-                handle = self.model.launch_batch(
-                    preps, max_new_tokens=opts.max_new_tokens,
-                    temperature=opts.temperature, top_p=opts.top_p,
-                    seed=opts.seed, eos_token_id=opts.eos_token_id)
-                in_flight.append(_Launched(handle, idxs))
+                handle = self._launch_with_retry(preps)
+                in_flight.append(_Launched(handle, idxs, preps))
 
             pump()
             while futs or buckets or in_flight:
@@ -247,7 +299,7 @@ class ServingPipeline:
                 if in_flight:
                     launched = in_flight.popleft()
                     for i, r in zip(launched.indices,
-                                    self.model.finish_batch(launched.handle)):
+                                    self._finish_with_retry(launched)):
                         yield i, r
                 elif futs:
                     drain(block=True)
@@ -256,5 +308,5 @@ class ServingPipeline:
 
     def _finish(self, launched: _Launched, results: list) -> None:
         for i, r in zip(launched.indices,
-                        self.model.finish_batch(launched.handle)):
+                        self._finish_with_retry(launched)):
             results[i] = r
