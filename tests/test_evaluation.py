@@ -82,6 +82,50 @@ def test_eval_coco_runs(tmp_path, model, rng, monkeypatch):
     assert os.path.exists(out_path)
 
 
+_REF_DATA = "/root/reference/evaluation/processed_data"
+
+
+@pytest.mark.skipif(not os.path.isdir(_REF_DATA),
+                    reason="reference frozen eval data not present")
+def test_eval_countbench_on_reference_frozen_data(tmp_path, model):
+    """Pin the runner to the reference's REAL frozen eval files
+    (evaluation/processed_data/*_with_upn_score_0.3_0.8.json): schema,
+    bbox/score threading, and the <=100-box cap. The benchmark images are
+    not shipped with the reference, so stub JPEGs stand in for them — the
+    point is the data plumbing, not the accuracy number."""
+    cb = json.load(open(os.path.join(
+        _REF_DATA, "countbench_with_upn_score_0.3_0.8.json")))
+    px = json.load(open(os.path.join(
+        _REF_DATA, "pixmoCount_with_upn_score_0.3_0.8.json")))
+    # frozen-file invariants the runner relies on
+    assert len(cb) == 487 and len(px) == 529
+    for item in cb:
+        assert set(item) == {"question", "answer", "image", "bboxes",
+                             "scores"}
+        assert len(item["bboxes"]) == len(item["scores"]) <= 100
+        assert all(len(b) == 4 for b in item["bboxes"])
+        # the filename's 0.3_0.8 = (score floor, NMS threshold): scores
+        # are floored at 0.3 but range up to ~0.92 in the frozen file
+        assert all(0.3 <= s <= 1.0 for s in item["scores"])
+    for item in px:  # pixmo rows carry no scores key
+        assert set(item) == {"question", "answer", "image", "bboxes"}
+        assert len(item["bboxes"]) <= 100
+
+    # run the first rows of each file through the tiny model with stub
+    # images named as the frozen data expects
+    tmp = str(tmp_path)
+    rng = np.random.default_rng(0)
+    subset = cb[:2] + px[:1]
+    _write_images(tmp, rng, [item["image"] for item in subset])
+    sub_path = os.path.join(tmp, "ref_subset.json")
+    json.dump(subset, open(sub_path, "w"))
+    out = eval_countbench(model, sub_path, tmp, max_new_tokens=4,
+                          verbose=False)
+    assert out["total"] == 3
+    assert out["ground_truth"] == [item["answer"] for item in subset]
+    assert all(isinstance(p, int) for p in out["predictions"])
+
+
 def test_eval_countbench_batched_matches_sequential(tmp_path, model, rng):
     """batch_size=2 must yield the same greedy predictions as batch_size=1."""
     tmp = str(tmp_path)
