@@ -124,7 +124,8 @@ def main():
             # the fast64 slot visit costs
             cases += [("xp=staticbase", {"xp": "staticbase"}),
                       ("xp=noonehot", {"xp": "noonehot"}),
-                      ("xp=noweight", {"xp": "noweight"})]
+                      ("xp=noweight", {"xp": "noweight"}),
+                      ("xp=nokernel", {"xp": "nokernel"})]
         for name, kw in cases:
             # amortize the ~26ms tunneled dispatch round trip: K dependent
             # iterations inside one program (carry perturbs value so XLA

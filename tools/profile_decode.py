@@ -11,7 +11,12 @@ dispatch latency cancels.
 Roofline: int8-all decode streams ~2.77GB trunk + 0.31GB tied head per
 token; v5e HBM ~819GB/s -> ~3.76 ms/token bound.
 
-Usage: python tools/profile_decode.py [cache_len]
+Usage: python tools/profile_decode.py [cache_len] [batch]
+
+batch > 1 (r5) profiles the BATCHED decode loop the serving pipeline runs —
+the per-step cost should stay near the weight-streaming bound (weights are
+read once per step regardless of batch), so (batched step cost) /
+(batch-1 step cost) reads directly as the batched-decode overhead factor.
 """
 
 from __future__ import annotations
@@ -43,6 +48,7 @@ def main():
     from vlm_fo1_tpu.training.checkpointing import load_params_safetensors
 
     cache_len = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     path = "/root/repo/.bench_params_3b_int8-all.safetensors"
     params = load_params_safetensors(path)
     text = jax.device_put(params["text"], jax.devices()[0])
@@ -53,10 +59,11 @@ def main():
     prompt = 459
     rng = np.random.default_rng(0)
     embeds = jnp.asarray(
-        rng.standard_normal((1, 512, cfg.hidden_size)) * 0.02, jnp.bfloat16)
-    pos = jnp.broadcast_to(jnp.arange(512)[None, None], (3, 1, 512))
-    seq_lens = jnp.asarray([prompt], jnp.int32)
-    deltas = jnp.asarray([0], jnp.int32)
+        rng.standard_normal((batch, 512, cfg.hidden_size)) * 0.02,
+        jnp.bfloat16)
+    pos = jnp.broadcast_to(jnp.arange(512)[None, None], (3, batch, 512))
+    seq_lens = jnp.full((batch,), prompt, jnp.int32)
+    deltas = jnp.zeros((batch,), jnp.int32)
 
     def run(n_layers, n_tokens, clen):
         tcfg = replace(cfg, num_hidden_layers=n_layers)
@@ -73,7 +80,8 @@ def main():
             cache, logits = prefill.__wrapped__(p, tcfg, embeds, pos,
                                                 seq_lens, clen)
             toks, steps, _ = decode_loop.__wrapped__(
-                p, tcfg, gen, cache, logits, seq_lens, deltas, key)
+                p, tcfg, gen, cache, logits, seq_lens, deltas, key,
+                prompt_pad=(512 if batch > 1 else None))
             return toks
 
         f = jax.jit(go)
@@ -94,9 +102,11 @@ def main():
               f"(prefill+1tok {t1*1e3:.1f} ms)")
         return per_tok
 
-    full = pair(f"36 layers, cache {cache_len}", 36, cache_len)
-    half = pair(f"18 layers, cache {cache_len}", 18, cache_len)
-    big = pair("36 layers, cache 2048", 36, 2048)
+    full = pair(f"36 layers, cache {cache_len}, batch {batch}", 36,
+                cache_len)
+    half = pair(f"18 layers, cache {cache_len}, batch {batch}", 18,
+                cache_len)
+    big = pair(f"36 layers, cache 2048, batch {batch}", 36, 2048)
 
     per_layer = (full - half) / 18
     fixed = full - 36 * per_layer

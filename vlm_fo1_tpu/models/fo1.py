@@ -41,10 +41,13 @@ from vlm_fo1_tpu.preprocess.tokens import (
 from vlm_fo1_tpu.preprocess.windowing import build_vit_plan, pad_pixel_values
 from vlm_fo1_tpu.runtime.generate import (
     GenerationConfig,
+    decode_chunk,
     decode_loop,
     decode_to_text,
     pad_to_bucket,
     prefill,
+    prefill_into_slots,
+    sample_first,
 )
 
 BOX_BUCKET = 10  # boxes padded to a multiple of this (cap 100)
@@ -279,6 +282,64 @@ def _serve_batch(params, cfg: FO1Config, gen_cfg, patches, rot_cos, rot_sin,
         params["text"], cfg.text, gen_cfg, cache, first_logits, seq_lens,
         deltas, rng, prompt_pad=pad_len)
     return tokens, steps
+
+
+@partial(jax.jit, static_argnames=("cfg", "gen_cfg", "num_windows", "grid",
+                                   "pad_len", "cache_len"))
+def _session_start(params, cfg: FO1Config, gen_cfg, patches, rot_cos,
+                   rot_sin, valid, inv_unit_idx, inv_token_idx, aux_image,
+                   aux_boxes, vt_boxes, ids, img_pos, reg_pos, pos, seq_lens,
+                   rng, gather_idx=None, *, num_windows: int, grid: tuple,
+                   pad_len: int, cache_len: int):
+    """Continuous-batching session opener: batched encode + splice +
+    prefill + first-token sample as ONE program (the decode runs separately
+    in chunks — models/fo1.py `decode_session_chunk`). Returns
+    (kv_cache, tok0 [B], done0 [B])."""
+    vtok, rtok = _encode_image_and_regions_batched.__wrapped__(
+        params, cfg, patches, rot_cos, rot_sin, valid, inv_unit_idx,
+        inv_token_idx, aux_image, aux_boxes, vt_boxes, gather_idx,
+        num_windows=num_windows, grid=grid)
+    embeds = _splice_embeds_batched.__wrapped__(
+        params["text"], ids, vtok, img_pos, rtok, reg_pos, pad_len=pad_len)
+    cache, first_logits = prefill.__wrapped__(
+        params["text"], cfg.text, embeds, pos, seq_lens, cache_len=cache_len)
+    tok0, done0 = sample_first.__wrapped__(first_logits, gen_cfg, rng)
+    return cache, tok0, done0
+
+
+@partial(jax.jit, static_argnames=("cfg", "gen_cfg", "num_windows", "grid",
+                                   "pad_len"),
+         donate_argnames=("kv_cache", "cur", "row_steps", "done", "seq_lens",
+                          "rope_deltas", "row_max", "tail"))
+def _session_refill(params, cfg: FO1Config, gen_cfg, patches, rot_cos,
+                    rot_sin, valid, inv_unit_idx, inv_token_idx, aux_image,
+                    aux_boxes, vt_boxes, ids, img_pos, reg_pos, pos,
+                    seq_lens_g, deltas_g, row_max_g, slots, kv_cache, cur,
+                    row_steps, done, seq_lens, rope_deltas, row_max, tail,
+                    rng, gather_idx=None, *, num_windows: int, grid: tuple,
+                    pad_len: int):
+    """Refill freed decode slots with G new requests: encode + splice +
+    prefill-into-slots + first-token sample + per-row state scatter, one
+    program. The whole session state is donated through so refills are
+    in-place. Returns the updated state pytree + tok0 [G]."""
+    vtok, rtok = _encode_image_and_regions_batched.__wrapped__(
+        params, cfg, patches, rot_cos, rot_sin, valid, inv_unit_idx,
+        inv_token_idx, aux_image, aux_boxes, vt_boxes, gather_idx,
+        num_windows=num_windows, grid=grid)
+    embeds = _splice_embeds_batched.__wrapped__(
+        params["text"], ids, vtok, img_pos, rtok, reg_pos, pad_len=pad_len)
+    kv_cache, logits = prefill_into_slots.__wrapped__(
+        params["text"], cfg.text, embeds, pos, seq_lens_g, kv_cache, slots)
+    tok0, done0 = sample_first.__wrapped__(logits, gen_cfg, rng)
+    cur = cur.at[slots].set(tok0)
+    row_steps = row_steps.at[slots].set(1)
+    done = done.at[slots].set(done0)
+    seq_lens = seq_lens.at[slots].set(seq_lens_g)
+    rope_deltas = rope_deltas.at[slots].set(deltas_g)
+    row_max = row_max.at[slots].set(row_max_g)
+    tail = tail.at[slots].set(jnp.full((tail.shape[1],), -1, jnp.int32))
+    return (kv_cache, cur, row_steps, done, seq_lens, rope_deltas, row_max,
+            tail, tok0)
 
 
 @dataclass
@@ -931,6 +992,146 @@ class FO1Model:
                 text=text, token_ids=out, prompt_len=int(seq_lens[i]),
                 num_steps=steps))
         return results
+
+    # ---------------------------------------------- continuous batching
+    # (VERDICT r4 #4): the batch-synchronous decode_loop holds every slot
+    # until ALL rows finish, so one long answer blocks 15 finished slots.
+    # A session decodes in chunks; between chunks, finished slots are
+    # refilled with new prepared requests (encode + prefill-into-slot +
+    # state scatter as one program). The reference has no batching at all.
+
+    def _session_token_arrays(self, preps: list[dict], enc: dict,
+                              pad_len: int):
+        """ids/img_pos/reg_pos/pos/seq_lens/deltas host arrays for a
+        same-geometry prep batch at a FIXED pad_len bucket."""
+        b = len(preps)
+        splices = [p["splice"] for p in preps]
+        seq_lens = np.array([s.seq_len for s in splices], np.int32)
+        if int(seq_lens.max()) > pad_len:
+            raise ValueError(
+                f"prompt length {int(seq_lens.max())} exceeds the session "
+                f"pad bucket {pad_len}")
+        ids = np.zeros((b, pad_len), np.int32)
+        img_pos = np.empty((b, len(splices[0].image_positions)), np.int32)
+        reg_pos = np.full((b, enc["nb"]), pad_len, np.int32)
+        pos = np.zeros((3, b, pad_len), np.int32)
+        for i, (p, info) in enumerate(zip(preps, splices)):
+            ids[i, :info.seq_len] = info.input_ids
+            img_pos[i] = info.image_positions
+            reg_pos[i, :len(info.region_positions)] = info.region_positions
+            pos[:, i, :info.seq_len] = p["position_ids"][:, 0]
+        deltas = np.array([int(p["rope_deltas"][0, 0]) for p in preps],
+                          np.int32)
+        return ids, img_pos, reg_pos, pos, seq_lens, deltas
+
+    def start_session(
+        self,
+        preps: list[dict],
+        max_new_tokens: int = 512,
+        row_max: list[int] | None = None,
+        temperature: float = 0.0,
+        top_p: float = 1.0,
+        seed: int = 0,
+        eos_token_id: int | None = None,
+        stop_sequences: tuple = (),
+        chunk: int = 32,
+        pad_len: int | None = None,
+    ) -> dict:
+        """Open a continuous-batching session over a same-geometry prep
+        batch. `row_max` gives per-request token budgets (<= max_new_tokens,
+        which sizes the shared cache). Returns the session state dict; drive
+        it with decode_session_chunk / refill_session."""
+        if not self._fusable(preps):
+            raise ValueError("session batches must share one geometry "
+                             "(see FO1Model._fusable)")
+        cfg = self.cfg
+        b = len(preps)
+        enc = self._stack_batch_inputs(preps)
+        splices = [p["splice"] for p in preps]
+        pad_len = pad_len or pad_to_bucket(
+            max(s.seq_len for s in splices), 128)
+        ids, img_pos, reg_pos, pos, seq_lens, deltas = \
+            self._session_token_arrays(preps, enc, pad_len)
+        row_max = list(row_max or [max_new_tokens] * b)
+        assert len(row_max) == b and max(row_max) <= max_new_tokens
+
+        eos = cfg.eos_token_id if eos_token_id is None else eos_token_id
+        gen_cfg = GenerationConfig(
+            max_new_tokens=max_new_tokens, temperature=temperature,
+            top_p=top_p, eos_token_id=eos, pad_token_id=cfg.pad_token_id,
+            stop_sequences=stop_sequences)
+        tlen = max([len(s) for s in stop_sequences] or [1])
+        cache, tok0, done0 = _session_start(
+            self.params, cfg, gen_cfg, enc["patches"], *enc["plan_arrays"],
+            enc["aux"], enc["aux_boxes"], enc["vt_boxes"], jnp.asarray(ids),
+            jnp.asarray(img_pos), jnp.asarray(reg_pos), jnp.asarray(pos),
+            jnp.asarray(seq_lens), jax.random.PRNGKey(seed),
+            enc["gather_idx"], num_windows=enc["num_windows"],
+            grid=enc["grid"], pad_len=pad_len,
+            cache_len=pad_len + max_new_tokens)
+        return {
+            "cache": cache, "cur": tok0,
+            "row_steps": jnp.ones((b,), jnp.int32),
+            "done": done0, "seq_lens": jnp.asarray(seq_lens),
+            "deltas": jnp.asarray(deltas),
+            "row_max": jnp.asarray(row_max, jnp.int32),
+            "tail": jnp.full((b, tlen), -1, jnp.int32),
+            "tok0": tok0,
+            "gen_cfg": gen_cfg, "prompt_pad": pad_len, "chunk": chunk,
+            "grid": enc["grid"], "batch": b, "eos": eos,
+            "stop_sequences": stop_sequences, "seed": seed, "ticks": 0,
+        }
+
+    def decode_session_chunk(self, sess: dict):
+        """Run one decode chunk on the session (async dispatch). Returns
+        (tokens [B, chunk] device array, prev_row_steps device array,
+        steps_taken device scalar) — the freshly generated tokens for row b
+        are tokens[b, :new_row_steps[b] - prev_row_steps[b]]."""
+        sess["ticks"] += 1
+        prev_steps = sess["row_steps"]
+        tokens, cur, row_steps, done, tail, steps, cache = decode_chunk(
+            self.params["text"], self.cfg.text, sess["gen_cfg"],
+            sess["cache"], sess["cur"], prev_steps, sess["done"],
+            sess["seq_lens"], sess["deltas"], sess["row_max"], sess["tail"],
+            jax.random.PRNGKey(sess["seed"] + 7919 * sess["ticks"]),
+            prompt_pad=sess["prompt_pad"], chunk=sess["chunk"])
+        sess.update(cache=cache, cur=cur, row_steps=row_steps, done=done,
+                    tail=tail)
+        return tokens, prev_steps, steps
+
+    def refill_session(self, sess: dict, preps: list[dict],
+                       slots: list[int],
+                       row_max: list[int] | None = None) -> jnp.ndarray:
+        """Fill freed slots with new prepared requests (same geometry as the
+        session). Returns tok0 [G] — each refilled row's first generated
+        token (the driver records it as that request's first output)."""
+        assert len(preps) == len(slots) > 0
+        enc = self._stack_batch_inputs(preps)
+        if tuple(enc["grid"]) != tuple(sess["grid"]):
+            raise ValueError("refill geometry differs from the session's")
+        ids, img_pos, reg_pos, pos, seq_lens_g, deltas_g = \
+            self._session_token_arrays(preps, enc, sess["prompt_pad"])
+        row_max = list(row_max
+                       or [sess["gen_cfg"].max_new_tokens] * len(preps))
+        assert max(row_max) <= sess["gen_cfg"].max_new_tokens
+        sess["ticks"] += 1
+        (cache, cur, row_steps, done, seq_lens, deltas, row_maxd, tail,
+         tok0) = _session_refill(
+            self.params, self.cfg, sess["gen_cfg"], enc["patches"],
+            *enc["plan_arrays"], enc["aux"], enc["aux_boxes"],
+            enc["vt_boxes"], jnp.asarray(ids), jnp.asarray(img_pos),
+            jnp.asarray(reg_pos), jnp.asarray(pos), jnp.asarray(seq_lens_g),
+            jnp.asarray(deltas_g), jnp.asarray(row_max, jnp.int32),
+            jnp.asarray(slots, jnp.int32), sess["cache"], sess["cur"],
+            sess["row_steps"], sess["done"], sess["seq_lens"],
+            sess["deltas"], sess["row_max"], sess["tail"],
+            jax.random.PRNGKey(sess["seed"] + 7919 * sess["ticks"] + 1),
+            enc["gather_idx"], num_windows=enc["num_windows"],
+            grid=enc["grid"], pad_len=sess["prompt_pad"])
+        sess.update(cache=cache, cur=cur, row_steps=row_steps, done=done,
+                    seq_lens=seq_lens, deltas=deltas, row_max=row_maxd,
+                    tail=tail)
+        return tok0
 
     def _decode_streaming(self, cache, first_logits, seq_len, delta, gen_cfg,
                           streamer, stop_strings=()):

@@ -121,7 +121,12 @@ def init_kv_cache(cfg: TextConfig, batch: int, max_len: int, dtype=jnp.bfloat16)
 def _attention(p, cfg: TextConfig, x, cos, sin, mask, layer_cache,
                cache_offset):
     """GQA attention. x: [B, S, D]; mask: [B, 1, S, C] (C = cache length when
-    a cache is used, else S); layer_cache: (k [B,C,Hkv,hd], v) or None."""
+    a cache is used, else S); layer_cache: (k [B,C,Hkv,hd], v) or None.
+
+    cache_offset may be a scalar (shared write position — prefill and the
+    batch-synchronous decode loop) or a [B] vector of PER-ROW positions
+    (continuous-batching decode, where refilled slots sit at different
+    steps; the per-row path requires S == 1)."""
     b, s, _ = x.shape
     nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     q = nn.linear(p["q_proj"], x).reshape(b, s, nh, hd)
@@ -132,10 +137,18 @@ def _attention(p, cfg: TextConfig, x, cos, sin, mask, layer_cache,
 
     if layer_cache is not None:
         kc, vc = layer_cache
-        kc = jax.lax.dynamic_update_slice(
-            kc, k.astype(kc.dtype), (0, cache_offset, 0, 0))
-        vc = jax.lax.dynamic_update_slice(
-            vc, v.astype(vc.dtype), (0, cache_offset, 0, 0))
+        if getattr(cache_offset, "ndim", 0) == 1:
+            assert s == 1, "per-row cache offsets require single-token steps"
+            upd = jax.vmap(
+                lambda c, kk, o: jax.lax.dynamic_update_slice(
+                    c, kk, (o, 0, 0)))
+            kc = upd(kc, k.astype(kc.dtype), cache_offset)
+            vc = upd(vc, v.astype(vc.dtype), cache_offset)
+        else:
+            kc = jax.lax.dynamic_update_slice(
+                kc, k.astype(kc.dtype), (0, cache_offset, 0, 0))
+            vc = jax.lax.dynamic_update_slice(
+                vc, v.astype(vc.dtype), (0, cache_offset, 0, 0))
         new_cache = (kc, vc)
         k_all, v_all = kc.astype(x.dtype), vc.astype(x.dtype)
     else:

@@ -191,6 +191,63 @@ def _msda_level_kernel(code_ref, dvm_ref, gb_ref, dw_ref, s0r_ref, w4_ref,
 
     jrow = jax.lax.rem(pl.program_id(1), 8)
 
+    if xp == "floor":
+        # perf experiment: empty supergroup body (zeros out) — the
+        # structural floor of the fori_loop + out-write skeleton
+        def body_fl(g, _):
+            q0 = pl.multiple_of(g * _SG, _SG)
+            out_ref[0, pl.ds(q0, _SG), :] = jnp.zeros((_SG, d), jnp.float32)
+            return 0
+
+        jax.lax.fori_loop(0, qb // _SG, body_fl, 0)
+        return
+
+    if xp == "nodelta":
+        # perf experiment: branchless matmul path with CONSTANT deltas —
+        # isolates the cost of the (SG,1) thin dmat slices + broadcasts
+        iota_col = jax.lax.broadcasted_iota(jnp.int32, (_SG, 1), 0)
+
+        def body_nd(g, _):
+            q0 = pl.multiple_of(g * _SG, _SG)
+            codes = [code_ref[0, jrow, g * n_samp + s]
+                     for s in range(n_samp)]
+            acc = jnp.zeros((_SG, 4 * d), jnp.float32)
+            for s in range(n_samp):
+                base = pl.multiple_of(jnp.maximum(codes[s], 0), 8)
+                oh = (iota_win == iota_col).astype(vdt)
+                blk = val4_ref[0, pl.ds(base, _WIN), :]
+                acc = acc + dots(oh, blk) * w128_ref[
+                    pl.ds(q0, _SG), s * 4 * d:(s + 1) * 4 * d]
+            out_ref[0, pl.ds(q0, _SG), :] = _fold(acc)
+            return 0
+
+        jax.lax.fori_loop(0, qb // _SG, body_nd, 0)
+        return
+
+    if xp == "branchless":
+        # perf experiment: NO pl.when anywhere — every slot takes the
+        # supergroup matmul path unconditionally (missed slots contribute
+        # zero via the -1 delta all-zero one-hot; WRONG results for them).
+        # Isolates the cost of the kernel's branch/skip machinery.
+        def body_bl(g, _):
+            q0 = pl.multiple_of(g * _SG, _SG)
+            codes = [code_ref[0, jrow, g * n_samp + s]
+                     for s in range(n_samp)]
+            dmat = dvm_ref[0, pl.ds(q0, _SG), :]
+            acc = jnp.zeros((_SG, 4 * d), jnp.float32)
+            for s in range(n_samp):
+                base = pl.multiple_of(jnp.maximum(codes[s], 0), 8)
+                delta = jax.lax.slice(dmat, (0, s), (_SG, s + 1))
+                oh = (iota_win == delta).astype(vdt)
+                blk = val4_ref[0, pl.ds(base, _WIN), :]
+                acc = acc + dots(oh, blk) * w128_ref[
+                    pl.ds(q0, _SG), s * 4 * d:(s + 1) * 4 * d]
+            out_ref[0, pl.ds(q0, _SG), :] = _fold(acc)
+            return 0
+
+        jax.lax.fori_loop(0, qb // _SG, body_bl, 0)
+        return
+
     def body(g, _):
         q0 = pl.multiple_of(g * _SG, _SG)
         codes = [code_ref[0, jrow, g * n_samp + s] for s in range(n_samp)]
@@ -221,17 +278,37 @@ def _msda_level_kernel(code_ref, dvm_ref, gb_ref, dw_ref, s0r_ref, w4_ref,
                 if xp == "staticbase":  # perf experiment knobs (wrong
                     base = 0            # results; see bench_msda_kernel)
                 delta = jax.lax.slice(dmat, (0, s), (_SG, s + 1))  # (SG, 1)
+                if xp == "nothing":    # slot loop stripped to the w-mult
+                    acc = acc + delta.astype(jnp.float32)
+                    continue
+                if xp == "noload":     # skip blk load + one-hot + dots
+                    acc = acc + (delta.astype(jnp.float32)
+                                 * w128_ref[pl.ds(q0, _SG),
+                                            s * 4 * d:(s + 1) * 4 * d])
+                    continue
                 if xp == "noonehot":
                     oh = iota_win.astype(vdt)
                 else:
                     oh = (iota_win == delta).astype(vdt)
-                blk = val4_ref[0, pl.ds(base, _WIN), :]           # (WIN, 4D)
-                sel = dots(oh, blk)
+                if xp == "nodots":     # load + one-hot gen, no matmul
+                    blk = val4_ref[0, pl.ds(base, _SG), :]        # (SG, 4D)
+                    sel = blk.astype(jnp.float32) + oh[:, :1].astype(
+                        jnp.float32)
+                else:
+                    blk = val4_ref[0, pl.ds(base, _WIN), :]       # (WIN, 4D)
+                    sel = dots(oh, blk)
                 if xp == "noweight":
                     acc = acc + sel
                 else:
                     acc = acc + sel * w128_ref[pl.ds(q0, _SG),
                                                s * 4 * d:(s + 1) * 4 * d]
+
+            if xp == "nowhen":
+                # perf experiment: drop the per-8 patch paths (WRONG results
+                # on missed slots) to measure the cost of evaluating the
+                # n_samp per-slot pl.when branches on the all-hit fast path
+                out_ref[0, pl.ds(q0, _SG), :] = _fold(acc)
+                return
 
             for s in range(n_samp):
                 @pl.when(codes[s] == -1)
@@ -433,6 +510,14 @@ def _pass_call(starts_p, w4_p, val4, *, b, m, n_samp, d, qb, interpret,
                    constant_values=-2)
     dvm = _to_slab3(dvm, m, n_samp)
     w4s = _to_slab3(w4_p, m, 4 * n_samp)
+    if xp == "nokernel":
+        # perf experiment: skip the pallas_call but keep every kernel input
+        # alive (cheap sums defeat DCE) — measures the XLA-side glue
+        # (sampling math, _group_meta, slab relayouts, quad packing) alone
+        keep = (code.sum() + dvm.sum() + gb.sum() + dw.sum() + s0r.sum()
+                + w4s.sum().astype(jnp.float32)
+                + val4.astype(jnp.float32).sum())
+        return jnp.zeros((b * m, lq_pad, d), jnp.float32) + keep * 1e-30
     ex = jnp.asarray(_expansion_matrix(n_samp, d), jnp.bfloat16)
     brows = qb * n_samp // 128
     return pl.pallas_call(
