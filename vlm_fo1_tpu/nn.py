@@ -134,7 +134,8 @@ def rms_norm_init(dim, dtype=jnp.float32):
 
 def rms_norm(p, x, eps=1e-6):
     dt = x.dtype
-    xf = x.astype(jnp.float32)
+    # promote, don't force: f64 stays f64 (the UPN f64 oracle), bf16 -> f32
+    xf = x.astype(jnp.promote_types(dt, jnp.float32))
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
     xf = xf * jax.lax.rsqrt(var + eps)
     return (p["scale"] * xf.astype(dt)).astype(dt)
@@ -146,7 +147,7 @@ def layer_norm_init(dim, dtype=jnp.float32):
 
 def layer_norm(p, x, eps=1e-5):
     dt = x.dtype
-    xf = x.astype(jnp.float32)
+    xf = x.astype(jnp.promote_types(dt, jnp.float32))
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.var(xf, axis=-1, keepdims=True)
     xf = (xf - mean) * jax.lax.rsqrt(var + eps)
@@ -161,7 +162,8 @@ def group_norm(p, x, groups: int, eps=1e-5):
     """Channel-last GroupNorm over [..., H, W, C]."""
     dt = x.dtype
     *lead, h, w, c = x.shape
-    xf = x.astype(jnp.float32).reshape(*lead, h * w, groups, c // groups)
+    xf = x.astype(jnp.promote_types(dt, jnp.float32)).reshape(
+        *lead, h * w, groups, c // groups)
     mean = xf.mean(axis=(-3, -1), keepdims=True)
     var = xf.var(axis=(-3, -1), keepdims=True)
     xf = (xf - mean) * jax.lax.rsqrt(var + eps)
@@ -192,7 +194,7 @@ def conv2d(p, x, stride=1, padding=0, groups=1):
         x, p["w"], window_strides=stride, padding=padding,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.promote_types(x.dtype, jnp.float32),
     ).astype(x.dtype)
     if "b" in p:
         y = y + p["b"][None, :, None, None].astype(y.dtype)
@@ -240,8 +242,12 @@ def sdpa(q, k, v, mask=None, scale=None):
     """
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
-    logits = jnp.einsum("...qhd,...khd->...hqk", q, k,
-                        preferred_element_type=jnp.float32) * scale
+    # promote (not force) the accumulator so f64 inputs (the full-scale
+    # UPN f64 oracle) keep f64 accumulation; bf16/f32 accumulate in f32
+    logits = jnp.einsum(
+        "...qhd,...khd->...hqk", q, k,
+        preferred_element_type=jnp.promote_types(q.dtype, jnp.float32),
+    ) * scale
     if mask is not None:
         logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
     # store logits in the input dtype (f32 accumulation happens in the

@@ -40,7 +40,12 @@ def ms_deform_attn_core(
     _, lq, _, nlvl, npts, _ = sampling_locations.shape
     assert nlvl == len(spatial_shapes)
 
-    out = jnp.zeros((b, lq, m, d), jnp.float32)
+    # promote (not force) the compute dtype: f64 inputs (the full-scale
+    # UPN f64 oracle) keep f64 location math — an f32 pin there can flip
+    # floor() cells vs a double-precision reference; bf16/f32 stay f32
+    cdt = jnp.promote_types(jnp.promote_types(value.dtype, jnp.float32),
+                            sampling_locations.dtype)
+    out = jnp.zeros((b, lq, m, d), cdt)
     start = 0
     dn = lax.GatherDimensionNumbers(
         offset_dims=(1, 2, 3), collapsed_slice_dims=(2,),
@@ -49,7 +54,7 @@ def ms_deform_attn_core(
         val = value[:, start:start + h * w].reshape(b, h, w, m, d)
         start += h * w
         val = jnp.pad(val, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
-        loc = sampling_locations[:, :, :, lvl].astype(jnp.float32)
+        loc = sampling_locations[:, :, :, lvl].astype(cdt)
         x = loc[..., 0] * w - 0.5
         y = loc[..., 1] * h - 0.5
         x0 = jnp.floor(x)
@@ -72,13 +77,13 @@ def ms_deform_attn_core(
             return lax.gather(vb, starts, dn, slice_sizes=(2, 2, 1, d))
 
         patch = jax.vmap(one_batch)(val, sy, sx, m_ids)
-        patch = patch.reshape(b, lq, m, npts, 2, 2, d).astype(jnp.float32)
+        patch = patch.reshape(b, lq, m, npts, 2, 2, d).astype(cdt)
         wts = jnp.stack([
             jnp.stack([(1 - ly) * (1 - lx), (1 - ly) * lx], -2),
             jnp.stack([ly * (1 - lx), ly * lx], -2)], -3)
         samp = (patch * wts).sum((-3, -2))              # [B, Lq, M, P, D]
         samp = jnp.where(okv[..., None], samp, 0.0)
-        aw = attention_weights[:, :, :, lvl].astype(jnp.float32)
+        aw = attention_weights[:, :, :, lvl].astype(cdt)
         out = out + jnp.einsum("blmpd,blmp->blmd", samp, aw)
     return out.reshape(b, lq, m * d)
 
@@ -224,8 +229,9 @@ def msda_layer(
     # half the per-layer UPN encoder time in round 1.
     offsets = nn.linear(p["sampling_offsets"], query)    # [B,Lq,L*M*P*2]
     aw = nn.linear(p["attention_weights"], query)        # [B,Lq,M*L*P]
+    cdt = jnp.promote_types(query.dtype, jnp.float32)
     aw = jax.nn.softmax(
-        aw.reshape(b, lq, m, nlvl * n_points).astype(jnp.float32),
+        aw.reshape(b, lq, m, nlvl * n_points).astype(cdt),
         axis=-1).reshape(b, lq, -1)
     # (m, l, p) -> (l, m, p): constant lane permutation
     perm = np.arange(m * nlvl * n_points).reshape(
@@ -233,11 +239,15 @@ def msda_layer(
     aw_flat = jnp.take(aw, jnp.asarray(perm), axis=-1)
 
     mp2 = m * n_points * 2
-    wv = np.array([w for h, w in spatial_shapes], np.float32)
-    hv = np.array([h for h, w in spatial_shapes], np.float32)
-    inv_wh = np.empty(nlvl * mp2, np.float32)
+    # constants in f64, cast to the compute dtype: under the f64 oracle a
+    # f32-rounded 1/W shifts locations by ~1e-8, enough to flip floor()
+    # cells vs the double-precision reference at ~1-per-run rates
+    wv = np.array([w for h, w in spatial_shapes], np.float64)
+    hv = np.array([h for h, w in spatial_shapes], np.float64)
+    inv_wh = np.empty(nlvl * mp2, np.float64)
     inv_wh[0::2] = np.repeat(1.0 / wv, m * n_points)
     inv_wh[1::2] = np.repeat(1.0 / hv, m * n_points)
+    inv_wh = inv_wh.astype(cdt)
 
     def bcast_ref(r):  # [B, Lq, L, k] -> [B, Lq, L*M*P*k] (l, m, p, c)
         k = r.shape[-1]
@@ -245,13 +255,13 @@ def msda_layer(
             r[:, :, :, None, :], (b, lq, nlvl, m * n_points, k)).reshape(
             b, lq, -1)
 
-    offsets = offsets.astype(jnp.float32)
+    offsets = offsets.astype(cdt)
     if reference_points.shape[-1] == 2:
         loc_flat = bcast_ref(reference_points) + offsets * jnp.asarray(
             inv_wh)
     elif reference_points.shape[-1] == 4:
         norm = (jnp.asarray(inv_wh) if use_4d_normalizer
-                else 1.0 / jnp.float32(n_points))
+                else 1.0 / jnp.asarray(n_points, cdt))
         loc_flat = (bcast_ref(reference_points[..., :2])
                     + offsets * norm
                     * bcast_ref(reference_points[..., 2:]) * 0.5)

@@ -168,7 +168,8 @@ def _msda_level_kernel(code_ref, dvm_ref, gb_ref, dw_ref, s0r_ref, w4_ref,
     # these bf16 dots and fail to compile ("Bad lhs type").
     dotd = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
                              precision=jax.lax.Precision.DEFAULT)
-    w128_ref[:] = dotd(hi, exv) + dotd(mid, exv) + dotd(lo, exv)
+    if xp != "floor_noexp":
+        w128_ref[:] = dotd(hi, exv) + dotd(mid, exv) + dotd(lo, exv)
     vdt = val4_ref.dtype
     # One-hot selection is exact for bf16 values at DEFAULT precision, but
     # the current toolchain rounds f32 dot operands to bf16 at DEFAULT —
@@ -200,6 +201,22 @@ def _msda_level_kernel(code_ref, dvm_ref, gb_ref, dw_ref, s0r_ref, w4_ref,
             return 0
 
         jax.lax.fori_loop(0, qb // _SG, body_fl, 0)
+        return
+
+    if xp == "floor_block":
+        # perf experiment: whole-block zeros write, NO fori_loop — vs
+        # "floor" isolates the per-supergroup loop + thin-write granularity
+        out_ref[0] = jnp.zeros((qb, d), jnp.float32)
+        return
+
+    if xp == "floor_noexp":
+        # perf experiment: like floor_block but also skipping the w128
+        # expansion + scratch write (w128_ref untouched) — with "floor"
+        # and "floor_block" splits the skeleton into
+        # (expansion+scratch) / (fori+thin writes) / (grid+DMA) shares.
+        # NOTE: reads nothing; Mosaic may DCE input DMAs it can prove
+        # unused, so treat as a lower bound.
+        out_ref[0] = jnp.zeros((qb, d), jnp.float32)
         return
 
     if xp == "nodelta":

@@ -195,12 +195,16 @@ def init_upn_params(key, cfg: UPNConfig, swin_cfg: SwinConfig | None = None,
 # ------------------------------------------------------------------ pieces
 
 def sine_position_embedding(h: int, w: int, valid_h, valid_w,
-                            num_pos_feats=128, temperature=20.0):
+                            num_pos_feats=128, temperature=20.0,
+                            dtype=jnp.float32):
     """PositionEmbeddingSineHW with normalize=True
     (reference detr_utils.py:79-149). valid_h/valid_w may be traced scalars.
-    Returns [H, W, 2*num_pos_feats] fp32."""
-    ys = jnp.arange(1, h + 1, dtype=jnp.float32)[:, None] * jnp.ones((1, w))
-    xs = jnp.ones((h, 1)) * jnp.arange(1, w + 1, dtype=jnp.float32)[None, :]
+    Returns [H, W, 2*num_pos_feats] in `dtype` (f64 under the full-scale
+    oracle so the tables match the double-precision reference)."""
+    ys = (jnp.arange(1, h + 1, dtype=dtype)[:, None]
+          * jnp.ones((1, w), dtype))
+    xs = (jnp.ones((h, 1), dtype)
+          * jnp.arange(1, w + 1, dtype=dtype)[None, :])
     # zero out padding rows/cols like the reference's masked cumsum
     row_valid = (jnp.arange(h) < valid_h)[:, None]
     col_valid = (jnp.arange(w) < valid_w)[None, :]
@@ -213,7 +217,8 @@ def sine_position_embedding(h: int, w: int, valid_h, valid_w,
     x_embed = xs / (jnp.max(xs, axis=1, keepdims=True) + eps) * scale
 
     dim_t = temperature ** (
-        2 * (jnp.arange(num_pos_feats, dtype=jnp.float32) // 2) / num_pos_feats)
+        2 * (jnp.arange(num_pos_feats, dtype=dtype) // 2)
+        / num_pos_feats)
     px = x_embed[:, :, None] / dim_t
     py = y_embed[:, :, None] / dim_t
 
@@ -228,7 +233,8 @@ def sineembed_512(pos, d=128):
     """gen_sineembed_for_position (detr_utils.py:276-310): 128 feats per
     coordinate, order (y, x, w, h). pos: [B, N, 4] -> [B, N, 512]."""
     scale = 2 * np.pi
-    dim_t = 10000.0 ** (2 * (jnp.arange(d, dtype=jnp.float32) // 2) / d)
+    fdt = jnp.promote_types(pos.dtype, jnp.float32)
+    dim_t = 10000.0 ** (2 * (jnp.arange(d, dtype=fdt) // 2) / d)
 
     def emb(c):
         f = c[..., None] * scale / dim_t
@@ -244,19 +250,24 @@ def _ffn(p, x, act=jax.nn.relu):
     return nn.layer_norm(p["norm2" if "norm3" not in p else "norm3"], x + y)
 
 
-def _encoder_reference_points(spatial_shapes, valid_ratios):
+def _encoder_reference_points(spatial_shapes, valid_ratios,
+                              dtype=jnp.float32):
     """[B, S, L, 2] normalized per-level grid reference points
-    (reference upn_encoder.py:193-208)."""
+    (reference upn_encoder.py:193-208). `dtype` is the coordinate compute
+    dtype — f64 under the full-scale f64 oracle, where f32-rounded grid
+    coordinates can flip bilinear floor() cells vs the double-precision
+    reference."""
     pts = []
     for lvl, (h, w) in enumerate(spatial_shapes):
-        ry = (jnp.arange(h, dtype=jnp.float32) + 0.5)
-        rx = (jnp.arange(w, dtype=jnp.float32) + 0.5)
+        ry = (jnp.arange(h, dtype=dtype) + 0.5)
+        rx = (jnp.arange(w, dtype=dtype) + 0.5)
         gy, gx = jnp.meshgrid(ry, rx, indexing="ij")
-        gy = gy.reshape(-1)[None] / (valid_ratios[:, None, lvl, 1] * h)
-        gx = gx.reshape(-1)[None] / (valid_ratios[:, None, lvl, 0] * w)
+        vr = valid_ratios.astype(dtype)
+        gy = gy.reshape(-1)[None] / (vr[:, None, lvl, 1] * h)
+        gx = gx.reshape(-1)[None] / (vr[:, None, lvl, 0] * w)
         pts.append(jnp.stack([gx, gy], -1))
     ref = jnp.concatenate(pts, 1)                      # [B, S, 2]
-    return ref[:, :, None] * valid_ratios[:, None]     # [B, S, L, 2]
+    return ref[:, :, None] * valid_ratios.astype(dtype)[:, None]
 
 
 def _mha(p, q, k, v, n_heads):
@@ -274,16 +285,18 @@ def _mha(p, q, k, v, n_heads):
     return nn.linear(p["out_proj"], out)
 
 
-def gen_anchor_proposals(spatial_shapes, valid_ratios):
+def gen_anchor_proposals(spatial_shapes, valid_ratios,
+                         dtype=jnp.float32):
     """Per-pixel anchors (cx, cy, w, h) with wh = 0.05 * 2^lvl
     (reference detr_utils.py:351-415). Returns [B, S, 4] in [0,1]."""
     b = valid_ratios.shape[0]
     props = []
     for lvl, (h, w) in enumerate(spatial_shapes):
-        gy, gx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
-                              jnp.arange(w, dtype=jnp.float32), indexing="ij")
+        gy, gx = jnp.meshgrid(jnp.arange(h, dtype=dtype),
+                              jnp.arange(w, dtype=dtype), indexing="ij")
         grid = jnp.stack([gx, gy], -1)[None]           # [1, H, W, 2]
-        valid_wh = valid_ratios[:, lvl] * jnp.asarray([w, h], jnp.float32)
+        valid_wh = (valid_ratios.astype(dtype)[:, lvl]
+                    * jnp.asarray([w, h], dtype))
         grid = (grid + 0.5) / valid_wh[:, None, None, :]
         wh = jnp.full_like(grid, 0.05 * 2.0**lvl)
         props.append(jnp.concatenate([grid, wh], -1).reshape(b, -1, 4))
@@ -334,7 +347,8 @@ def upn_forward(
         lvh = jnp.ceil(vh / strides[lvl]).astype(jnp.int32)[:, 0]
         lvw = jnp.ceil(vw / strides[lvl]).astype(jnp.int32)[:, 0]
         pos = jax.vmap(lambda a, c: sine_position_embedding(
-            h, w, a, c, cfg.pos_feats, cfg.pos_temperature))(lvh, lvw)
+            h, w, a, c, cfg.pos_feats, cfg.pos_temperature,
+            dtype=jnp.promote_types(s.dtype, jnp.float32)))(lvh, lvw)
         # pin to the feature dtype: the fp32 sine tables would otherwise
         # promote `memory + pos` (and with it the whole encoder) to fp32
         pos_flat.append((pos + params["level_embed"][lvl])
@@ -362,7 +376,9 @@ def upn_forward(
     # identical; this is what cut the 200s+ first-compile — each encoder
     # layer contains a multi-pass Pallas MSDA program)
     memory = src
-    enc_ref = _encoder_reference_points(spatial_shapes, valid_ratios)
+    coord_dt = jnp.promote_types(src.dtype, jnp.float32)
+    enc_ref = _encoder_reference_points(spatial_shapes, valid_ratios,
+                                        dtype=coord_dt)
 
     def enc_body(mem, layer):
         attn = msda_layer(layer["self_attn"], mem + pos, enc_ref, mem,
@@ -377,7 +393,8 @@ def upn_forward(
         memory, _ = jax.lax.scan(enc_body, memory, enc_stack)
 
     # ------------------------------------------------- two-stage proposals
-    proposals = gen_anchor_proposals(spatial_shapes, valid_ratios)
+    proposals = gen_anchor_proposals(spatial_shapes, valid_ratios,
+                                     dtype=coord_dt)
     prop_valid = jnp.all((proposals > 0.01) & (proposals < 0.99), -1)
     prop_valid = prop_valid & ~key_pad
     proposals_unsig = jnp.where(prop_valid[..., None],
@@ -389,7 +406,15 @@ def upn_forward(
     prompt_emb = params[prompt][0] if prompt else jnp.zeros(
         (cfg.d_model,), memory.dtype)
     logits = (out_mem @ prompt_emb).astype(jnp.float32)  # [B, S] objectness
-    logits = jnp.where(prop_valid, logits, -jnp.inf)
+    # NO -inf masking of invalid anchors: the reference zeroes their MEMORY
+    # but lets them compete in topk with the resulting constant
+    # LN(Linear(0))@prompt score (gen_encoder_output_proposals,
+    # detr_utils.py:404-415 + get_two_stage_proposal's unmasked topk,
+    # deformable_transformer.py:300-309). Border anchors (cx or cy outside
+    # [0.01, 0.99]) exist whenever a level map exceeds 50 px, so an -inf
+    # exclusion here (r1-r4) silently diverged from the reference at real
+    # 800/1333 sizes while matching it on small test maps — caught by the
+    # full-scale f64 oracle (test_upn_oracle.py).
     topk_vals, topk_idx = jax.lax.top_k(logits, cfg.num_queries)
 
     # box-coordinate chain stays fp32 end to end: near 1.0 a bf16 coord

@@ -127,16 +127,17 @@ def _window_attention(p, x, num_heads, ws, rel_idx, attn_mask=None):
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
     scale = hd ** -0.5
+    acc_dt = jnp.promote_types(x.dtype, jnp.float32)
     logits = jnp.einsum("wqhd,wkhd->whqk", q * scale, k,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=acc_dt)
     bias = p["rel_bias"][rel_idx]                     # [ws*ws, ws*ws, H]
-    logits = logits + bias.transpose(2, 0, 1)[None].astype(jnp.float32)
+    logits = logits + bias.transpose(2, 0, 1)[None].astype(acc_dt)
     if attn_mask is not None:
         # attn_mask: [num_windows, ws*ws, ws*ws], tile over batch
         logits = logits.reshape(b, nh * nw, num_heads, ws * ws, ws * ws)
         logits = logits + attn_mask[None, :, None]
         logits = logits.reshape(b * nh * nw, num_heads, ws * ws, ws * ws)
-    probs = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(x.dtype)
+    probs = jax.nn.softmax(logits, -1).astype(x.dtype)
     out = jnp.einsum("whqk,wkhd->wqhd", probs, v).reshape(-1, ws * ws, c)
     out = nn.linear(p["proj"], out)
     out = out.reshape(b, nh, nw, ws, ws, c).transpose(0, 1, 3, 2, 4, 5)
