@@ -544,6 +544,49 @@ def main():
     except Exception as e:  # accounting must never sink the bench
         mfu = {"error": str(e)[:120]}
 
+    # ---- combined UPN->FO1 serving (VERDICT r4 #9): proposals + grounded
+    # reasoning as one overlapped pipeline (runtime/serving.UPNFO1Pipeline)
+    # vs the reference's strictly sequential two-stage flow. Needs BOTH
+    # models resident (FO1 int8 ~4.2GB + UPN bf16 ~0.9GB) — wrapped so an
+    # HBM squeeze from co-tenants degrades to an error field, not a crash.
+    # BENCH_UPN_FO1=0 disables.
+    upn_fo1 = None
+    upn_w = None
+    if (batch == 1 and os.environ.get("BENCH_UPN_FO1", "1") == "1"
+            and os.environ.get("BENCH_UPN", "1") == "1"):
+        try:
+            from PIL import Image
+
+            from vlm_fo1_tpu.runtime.serving import (
+                UPNFO1Options,
+                UPNFO1Pipeline,
+            )
+            from vlm_fo1_tpu.upn.wrapper import UPNWrapper
+
+            img = (Image.open(img_path).convert("RGB")
+                   if isinstance(img_path, str) else img_path)
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                upn_w = UPNWrapper.random_init(dtype=jnp.bfloat16)
+            upn_w.params = jax.device_put(upn_w.params, jax.devices()[0])
+            jax.block_until_ready(upn_w.params)
+            ub = int(os.environ.get("BENCH_UPN_FO1_BATCH", "4"))
+            n_req = ub * int(os.environ.get("BENCH_UPN_FO1_BATCHES", "3"))
+            combo = UPNFO1Pipeline(upn_w, model, UPNFO1Options(
+                batch_size=ub, max_new_tokens=decode_tokens,
+                max_pixels=max_pixels, eos_token_id=-1))
+            reqs = [{"image": img,
+                     "text": OD_template.format("orange")}] * n_req
+            combo.run(reqs[:ub])       # warm: compiles both stacks
+            t0 = time.time()
+            combo.run(reqs)
+            dt = time.time() - t0
+            upn_fo1 = {"img_s": round(n_req / dt, 4), "batch": ub,
+                       "requests": n_req}
+            combo = None
+        except Exception as e:
+            upn_fo1 = {"error": str(e)[:160]}
+
     # UPN proposal generation (reference scripts/run_upn.py:1-16 as the
     # workload: demo image at the 800/1333 transform). First-class entry
     # point of the reference, so its throughput is a tracked number.
@@ -570,11 +613,12 @@ def main():
 
             img = (Image.open(img_path).convert("RGB")
                    if isinstance(img_path, str) else img_path)
-            cpu = jax.devices("cpu")[0]
-            with jax.default_device(cpu):
-                upn_w = UPNWrapper.random_init(dtype=jnp.bfloat16)
-            upn_w.params = jax.device_put(upn_w.params, jax.devices()[0])
-            jax.block_until_ready(upn_w.params)
+            if upn_w is None:
+                cpu = jax.devices("cpu")[0]
+                with jax.default_device(cpu):
+                    upn_w = UPNWrapper.random_init(dtype=jnp.bfloat16)
+                upn_w.params = jax.device_put(upn_w.params, jax.devices()[0])
+                jax.block_until_ready(upn_w.params)
             t0 = time.time()
             upn_w.inference(img)  # compile
             upn_compile_s = time.time() - t0
@@ -640,6 +684,8 @@ def main():
         "serving": serving,
         "upn_img_s": (upn or {}).get("img_s"),
         "upn": upn,
+        "upn_fo1_img_s": (upn_fo1 or {}).get("img_s"),
+        "upn_fo1": upn_fo1,
         "decode_tokens": decode_tokens,
         # single-stream decode rate from the profiled pass; batch-serving
         # aggregate rate = requests/s x tokens/request

@@ -194,6 +194,99 @@ def test_pallas_core_grad_falls_back_to_xla(rng):
                                    atol=1e-5, rtol=1e-5)
 
 
+def test_pallas_backward_matches_autodiff(rng):
+    """The TPU-native col2im backward (ops/msda_pallas_bwd.py, VERDICT r4
+    #5) vs jax.vjp of the XLA gather core: all three grads (value /
+    sampling locations / attention weights), on a geometry mixing the
+    supergroup fast path (grid-structured queries), the per-sample miss
+    path (random locations) and out-of-bounds samples."""
+    from vlm_fo1_tpu.ops.msda import ms_deform_attn_core
+    from vlm_fo1_tpu.ops.msda_pallas_bwd import msda_backward_pallas
+
+    shapes = ((10, 12), (5, 6))
+    s = sum(h * w for h, w in shapes)
+    b, m, p, d = 1, 2, 2, 32
+    L = len(shapes)
+
+    for case in ("grid", "random"):
+        lq = 131
+        if case == "grid":
+            # row-major near-grid queries -> supergroup windows hit
+            xs = (np.arange(lq) % 12 + 0.5) / 12
+            ys = (np.arange(lq) // 12 + 0.5) / 10
+            base = np.stack([xs, ys], -1)[None, :, None, None, None]
+            loc = np.broadcast_to(
+                base, (b, lq, m, L, p, 2)).astype(np.float32).copy()
+            loc += rng.uniform(-0.02, 0.02, loc.shape).astype(np.float32)
+        else:
+            loc = rng.uniform(-0.2, 1.2, (b, lq, m, L, p, 2)).astype(
+                np.float32)
+        aw = np.asarray(jax.nn.softmax(jnp.asarray(
+            rng.standard_normal((b, lq, m, L * p)).astype(np.float32))
+        ).reshape(b, lq, m, L, p))
+        value = rng.standard_normal((b, s, m, d)).astype(np.float32)
+        g = rng.standard_normal((b, lq, m * d)).astype(np.float32)
+
+        loc_flat = loc.transpose(0, 1, 3, 2, 4, 5).reshape(b, lq, -1)
+        aw_flat = aw.transpose(0, 1, 3, 2, 4).reshape(b, lq, -1)
+
+        def ref(v, lf, af):
+            locr = lf.reshape(b, lq, L, m, p, 2).transpose(0, 1, 3, 2, 4, 5)
+            awr = af.reshape(b, lq, L, m, p).transpose(0, 1, 3, 2, 4)
+            return ms_deform_attn_core(v, shapes, locr, awr)
+
+        _, vjp = jax.vjp(ref, jnp.asarray(value), jnp.asarray(loc_flat),
+                         jnp.asarray(aw_flat))
+        want_v, want_l, want_a = vjp(jnp.asarray(g))
+
+        got_v, got_l, got_a = msda_backward_pallas(
+            jnp.asarray(value), shapes, jnp.asarray(loc_flat),
+            jnp.asarray(aw_flat), jnp.asarray(g), n_heads=m,
+            interpret=_interp())
+        np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                                   atol=2e-4, rtol=1e-4,
+                                   err_msg=f"{case}: grad_value")
+        np.testing.assert_allclose(np.asarray(got_a), np.asarray(want_a),
+                                   atol=2e-4, rtol=1e-4,
+                                   err_msg=f"{case}: grad_aw")
+        np.testing.assert_allclose(np.asarray(got_l), np.asarray(want_l),
+                                   atol=2e-4, rtol=1e-4,
+                                   err_msg=f"{case}: grad_loc")
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="compiled-backward timing needs the chip "
+                           "(VLM_FO1_TEST_ON_TPU=1)")
+def test_pallas_backward_compiled_on_tpu(rng):
+    """The col2im backward must COMPILE and run on-chip in seconds — the
+    whole point of replacing the autodiff-of-gather path, whose serial
+    scatter lowering made UPN training impractical (VERDICT r4 #5)."""
+    import time
+
+    from vlm_fo1_tpu.ops.msda_pallas_bwd import msda_backward_pallas
+
+    shapes = ((56, 64), (28, 32), (14, 16))
+    s = sum(h * w for h, w in shapes)
+    b, m, p, d = 1, 8, 4, 32
+    lq = s
+    value = jnp.asarray(rng.standard_normal((b, s, m, d)), jnp.bfloat16)
+    loc = jnp.asarray(rng.uniform(0, 1, (b, lq, len(shapes) * m * p * 2)),
+                      jnp.float32)
+    aw = jnp.asarray(rng.uniform(0.01, 1, (b, lq, len(shapes) * m * p)),
+                     jnp.float32)
+    g = jnp.asarray(rng.standard_normal((b, lq, m * d)), jnp.float32)
+    out = jax.block_until_ready(msda_backward_pallas(
+        value, shapes, loc, aw, g, n_heads=m))
+    t0 = time.time()
+    out = jax.block_until_ready(msda_backward_pallas(
+        value, shapes, loc, aw, g, n_heads=m))
+    dt = time.time() - t0
+    assert all(np.isfinite(np.asarray(o)).all() for o in out)
+    # seconds, not minutes: the autodiff path at this geometry never
+    # finished a single step on-chip
+    assert dt < 5.0, dt
+
+
 def test_msda_layer_backend_dispatch(rng):
     """msda_layer(backend="pallas") (interpret on CPU via env) matches the
     default XLA path."""

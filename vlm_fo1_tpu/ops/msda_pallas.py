@@ -789,6 +789,22 @@ def _flat_fwd(value, spatial_shapes, loc_flat, aw_flat, n_heads, interpret,
 
 def _flat_bwd(spatial_shapes, n_heads, interpret, qb, res, g):
     value, loc_flat, aw_flat = res
+    import os
+
+    backend = os.environ.get("VLM_FO1_MSDA_BWD", "auto")
+    if backend == "auto":
+        backend = ("pallas" if jax.default_backend() == "tpu"
+                   and (4 * value.shape[-1]) % 128 == 0 else "xla")
+    if backend == "pallas":
+        # TPU-native col2im (ops/msda_pallas_bwd.py) — the XLA autodiff
+        # path below lowers the transposed gather to a serial scatter loop
+        # on TPU, which made UPN training impractical on-chip (VERDICT r4
+        # #5; reference CUDA equivalent ms_deform_im2col_cuda.cuh:301-922)
+        from vlm_fo1_tpu.ops.msda_pallas_bwd import msda_backward_pallas
+
+        return msda_backward_pallas(
+            value, tuple(spatial_shapes), loc_flat, aw_flat, g,
+            n_heads=n_heads, interpret=interpret)
 
     def ref(v, lf, af):
         loc, aw = _flat_to_6d(spatial_shapes, lf, af, n_heads)
