@@ -316,6 +316,7 @@ class ServingPipeline:
 class UPNFO1Options:
     """Options for the combined UPN-proposals -> FO1 pipeline."""
     batch_size: int = 4
+    device_preproc: bool = True
     min_score: float = 0.3
     nms_value: float = 0.8
     max_boxes: int = 100           # reference caps at 100 (mm_utils.py:600)
@@ -379,7 +380,8 @@ class UPNFO1Pipeline:
                 if chunk is not None:
                     msgs, bls, scs = self._stage_upn(chunk)
                     futs = [pool.submit(self.fo1.prepare, m,
-                                        max_pixels=opts.max_pixels)
+                                        max_pixels=opts.max_pixels,
+                                        device_preproc=opts.device_preproc)
                             for m in msgs]
                     preps = [f.result() for f in futs]
                     handle = self.fo1.launch_batch(
