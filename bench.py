@@ -465,8 +465,11 @@ def main():
             long_b = int(os.environ.get("BENCH_CONT_LONG",
                                         str(4 * decode_tokens)))
             n_req = int(os.environ.get("BENCH_CONT_REQUESTS",
-                                       str(2 * sbatch)))
-            budgets = [short_b if i % 2 == 0 else long_b
+                                       str(4 * sbatch)))
+            # short-heavy mix (3:1): realistic OD/counting traffic where
+            # most answers are brief; a 1:1 mix ties the STEP counts (the
+            # long rows dominate both paths) and only measures overhead
+            budgets = [long_b if i % 4 == 3 else short_b
                        for i in range(n_req)]
             reqs = [{"messages": messages, "max_new_tokens": bgt}
                     for bgt in budgets]
@@ -480,9 +483,13 @@ def main():
             t0 = time.time()
             cpipe.run(reqs)
             c_dt = time.time() - t0
-            # batch-synchronous reference on the same traffic: budgets are
-            # per-request, which the fused batch loop cannot honor — every
-            # batch decodes to the longest budget (eos -1 never fires)
+            # batch-synchronous reference on the same traffic in ARRIVAL
+            # order: budgets are per-request, which the fused batch loop
+            # cannot honor — every batch decodes to the longest budget
+            # (eos -1 never fires). (A length-sorted static baseline would
+            # close some of the gap, but real traffic's lengths come from
+            # EOS and are unknowable at batch-formation time — slot refill
+            # needs no length oracle.)
             spipe = ServingPipeline(model, ServingOptions(
                 batch_size=sbatch, max_new_tokens=long_b,
                 max_pixels=max_pixels, eos_token_id=-1,
@@ -571,7 +578,9 @@ def main():
             upn_w.params = jax.device_put(upn_w.params, jax.devices()[0])
             jax.block_until_ready(upn_w.params)
             ub = int(os.environ.get("BENCH_UPN_FO1_BATCH", "4"))
-            n_req = ub * int(os.environ.get("BENCH_UPN_FO1_BATCHES", "3"))
+            # enough batches that the pipeline-fill UPN stage (~2.2s at
+            # batch 4) amortizes out of the steady-state estimate
+            n_req = ub * int(os.environ.get("BENCH_UPN_FO1_BATCHES", "5"))
             combo = UPNFO1Pipeline(upn_w, model, UPNFO1Options(
                 batch_size=ub, max_new_tokens=decode_tokens,
                 max_pixels=max_pixels, eos_token_id=-1))
