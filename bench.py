@@ -97,7 +97,36 @@ def _upn_stage_split(upn_w, arr, nhw, iters=3):
             "device_total": round(t_full, 4)}
 
 
+def _wait_for_backend():
+    """The tunneled axon backend goes UNAVAILABLE for stretches (observed
+    2h+ in r5); a failed in-process init is sticky, so probe it in a
+    SUBPROCESS with backoff before importing-and-initializing here. Knobs:
+    BENCH_INIT_RETRIES (default 10) x BENCH_INIT_BACKOFF_S (default 120)."""
+    import subprocess
+    import sys as _sys
+
+    retries = int(os.environ.get("BENCH_INIT_RETRIES", "10"))
+    backoff = float(os.environ.get("BENCH_INIT_BACKOFF_S", "120"))
+    for attempt in range(retries):
+        try:
+            r = subprocess.run(
+                [_sys.executable, "-c",
+                 "import jax; jax.devices()"],
+                capture_output=True, timeout=max(backoff * 2, 240))
+            if r.returncode == 0:
+                return
+            err = r.stderr.decode(errors="replace")[-160:]
+        except subprocess.TimeoutExpired:
+            err = "probe timed out (backend init hang)"
+        print(f"bench: backend probe {attempt + 1}/{retries} failed "
+              f"({err!r}); retrying in {backoff:.0f}s",
+              file=_sys.stderr, flush=True)
+        time.sleep(backoff)
+    # fall through: let the real init raise the genuine error
+
+
 def main():
+    _wait_for_backend()
     import jax
     import jax.numpy as jnp
 
