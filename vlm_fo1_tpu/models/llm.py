@@ -161,6 +161,25 @@ def _attention(p, cfg: TextConfig, x, cos, sin, mask, layer_cache,
 
     # GQA: fold the group dim into the query heads
     groups = nh // nkv
+    if s == 1 and layer_cache is not None:
+        # decode-specialized: drop the S=1 dim BEFORE the score einsum.
+        # The general path's [B, n, g, S, C] logits put S=1 second-minor,
+        # which tile-pads 8x and inflates every materialization in the
+        # mask -> softmax -> weighted-sum chain (profiled ~35% of the
+        # batched decode step beyond the weight stream); [B, n, g, C] has
+        # clean (8, 128) tiles (g = 8 for Qwen2.5's 16q/2kv GQA).
+        qg = q.reshape(b, nkv, groups, hd)
+        logits = jnp.einsum("bngh,bcnh->bngc", qg, k_all,
+                            preferred_element_type=jnp.float32)
+        logits = logits * (1.0 / jnp.sqrt(jnp.float32(hd)))
+        m1 = mask[:, 0, 0, :][:, None, None, :]            # [B, 1, 1, C]
+        logits = jnp.where(m1, logits, jnp.finfo(jnp.float32).min)
+        logits = logits.astype(x.dtype)
+        probs = jax.nn.softmax(logits.astype(jnp.float32),
+                               axis=-1).astype(x.dtype)
+        out = jnp.einsum("bngc,bcnh->bngh", probs, v_all)
+        out = out.reshape(b, 1, nh * hd)
+        return nn.linear(p["o_proj"], out), new_cache
     qg = q.reshape(b, s, nkv, groups, hd)
     logits = jnp.einsum("bsngh,bcnh->bngsc", qg, k_all,
                         preferred_element_type=jnp.float32)
